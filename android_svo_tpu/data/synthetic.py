@@ -24,12 +24,15 @@ from android_svo_tpu.geometry.camera import PinholeCamera
 from android_svo_tpu.ops.interp import bilinear_sample
 
 
-def make_texture(key, size: int = 1024, octaves: int = 7) -> jnp.ndarray:
+def make_texture(key, size: int = 1024, octaves: int | None = None) -> jnp.ndarray:
     """Multi-octave value-noise texture in [0, 255], (size, size) f32.
 
     Slow amplitude decay + linear upsampling keep strong local contrast at
     the finest scales so FAST/Shi-Tomasi fire densely (like real scenes).
     """
+    if octaves is None:
+        # reach pixel-scale noise regardless of texture size: 4*2^(o-1) == size
+        octaves = max(int(jnp.log2(size // 4)) + 1, 5)
     img = jnp.zeros((size, size), jnp.float32)
     amp = 1.0
     for o in range(octaves):
@@ -40,7 +43,13 @@ def make_texture(key, size: int = 1024, octaves: int = 7) -> jnp.ndarray:
         amp *= 0.75
     img = img - img.min()
     img = img / img.max()
-    return (img * 255.0).astype(jnp.float32)
+    # quantize a copy into piecewise-constant cells: sharp edges and corners
+    # (value-noise alone is too locally smooth for FAST's radius-3 ring test)
+    bands = jnp.floor(img * 8.0) / 7.0
+    mixed = 0.65 * bands + 0.35 * img
+    mixed = mixed - mixed.min()
+    mixed = mixed / mixed.max()
+    return (mixed * 255.0).astype(jnp.float32)
 
 
 def default_camera(width: int = 640, height: int = 480) -> PinholeCamera:

@@ -1,0 +1,159 @@
+"""Sparse image alignment: direct frame-to-frame pose tracking by
+coarse-to-fine inverse-compositional Gauss-Newton on photometric patch
+residuals — the TPU-native rebuild of the reference's `SparseImgAlign`
+(`sparse_img_align.cpp:51-307`) on top of `vk::NLLSSolver`
+(`nlls_solver_impl.hpp:25-100`).
+
+Reference semantics reproduced:
+  * 4x4 patches around every feature with a 3D point, residuals on the pyramid
+    from `img_align_max_level` down to `img_align_min_level`
+    (`frame_handler_mono.cpp:186-188`);
+  * per-feature geometric Jacobian evaluated once at the reference frame's 3D
+    point, shared by all patch pixels (`sparse_img_align.cpp:105-178` — the
+    inverse-compositional cache);
+  * Gauss-Newton with rollback: an iteration that increases chi2 reverts and
+    freezes the estimate (`nlls_solver_impl.hpp:62-74`), implemented here as a
+    best-so-far register inside `lax.fori_loop` (fixed trip count, jit-safe).
+
+TPU-native design: all features are processed as one batched gather +
+einsum per iteration (N x 16 residuals, 6x6 normal equations on-chip);
+no per-feature loops, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from android_svo_tpu.config import SVOConfig
+from android_svo_tpu.geometry.se3 import SE3, hat
+from android_svo_tpu.ops import interp
+
+
+def _geo_jacobian(p: jnp.ndarray) -> jnp.ndarray:
+    """d(unit-plane uv)/d(twist) for a right-perturbation p' = p + v + w x p.
+
+    Returns (N, 2, 6); twist order (v, w) — translation first, like the
+    reference's `Frame::jacobian_xyz2uv` (`frame.h:110-132`, up to overall
+    sign which is fixed by the update convention below).
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    zi = 1.0 / z
+    zi2 = zi * zi
+    # dpi/dp (N,2,3)
+    dpi = jnp.stack([
+        jnp.stack([zi, jnp.zeros_like(zi), -x * zi2], axis=-1),
+        jnp.stack([jnp.zeros_like(zi), zi, -y * zi2], axis=-1),
+    ], axis=-2)
+    # d(exp(dx) p)/d dx = [I | -hat(p)]   (N,3,6)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), p.shape[:-1] + (3, 3))
+    dp = jnp.concatenate([eye, -hat(p)], axis=-1)
+    return dpi @ dp
+
+
+def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
+                     ref_px: jnp.ndarray, ref_f: jnp.ndarray,
+                     ref_depth: jnp.ndarray, valid: jnp.ndarray,
+                     cfg: SVOConfig):
+    """Estimate T_cur_ref by direct alignment.
+
+    Args:
+      ref_pyr / cur_pyr: tuples of pyramid level images (level 0 first).
+      cam: camera model (shared by both frames, like the reference).
+      T_cur_ref_init: initial relative pose (last frame's motion model,
+        ref frame_handler_mono.cpp:175).
+      ref_px: (N, 2) feature pixels in the ref frame at level 0.
+      ref_f: (N, 3) unit bearings of those features.
+      ref_depth: (N,) range along the bearing to the 3D point
+        (ref sparse_img_align.cpp:128: `(point->pos - ref_pos).norm()`).
+      valid: (N,) features with a 3D point.
+
+    Returns (T_cur_ref, n_tracked, chi2) — n_tracked is the number of
+    features contributing valid residuals at the finest aligned level.
+    """
+    dtype = ref_px.dtype
+    half = cfg.img_align_patch_halfsize
+    patch_area = cfg.img_align_patch_size ** 2
+    xyz_ref = ref_f * ref_depth[..., None]                 # (N,3) in ref frame
+
+    T = T_cur_ref_init
+    n_tracked = jnp.zeros((), jnp.int32)
+    chi2_out = jnp.zeros((), dtype)
+
+    for level in range(cfg.img_align_max_level,
+                       cfg.img_align_min_level - 1, -1):
+        img_ref = ref_pyr[level]
+        img_cur = cur_pyr[level]
+        scale = jnp.asarray(1.0 / 2 ** level, dtype)
+        h, w = img_ref.shape
+
+        # ---- precompute reference patches + jacobian cache (per level) ----
+        uv_ref = cam.world2cam(xyz_ref) * scale            # level coords
+        ok_ref = (valid & interp.in_bounds(uv_ref, h, w, half + 1)
+                  & (xyz_ref[..., 2] > 1e-3))
+        patch_ref, gx, gy = interp.extract_patches_with_grad(
+            img_ref, uv_ref, half)                         # (N,P,P)
+        n = ref_px.shape[0]
+        patch_ref = patch_ref.reshape(n, patch_area)
+        gx = gx.reshape(n, patch_area)
+        gy = gy.reshape(n, patch_area)
+        jgeo = _geo_jacobian(xyz_ref)                      # (N,2,6)
+        # image gradient (pixel units at this level) x geometric jacobian,
+        # focal scaling folded in (ref sparse_img_align.cpp:170-176)
+        fx = cam.fx * scale
+        fy = cam.fy * scale
+        # J: (N, patch_area, 6)
+        J = (gx[..., None] * (fx * jgeo[:, None, 0, :])
+             + gy[..., None] * (fy * jgeo[:, None, 1, :]))
+
+        def body(it, carry):
+            del it
+            T_q, T_t, best_q, best_t, best_chi2, stopped = carry
+            Tl = SE3(q=T_q, t=T_t)
+            xyz_cur = Tl.apply(xyz_ref)
+            uv_cur = cam.world2cam(xyz_cur) * scale
+            ok = (ok_ref & (xyz_cur[..., 2] > 1e-3)
+                  & interp.in_bounds(uv_cur, h, w, half + 1))
+            patch_cur = interp.extract_patches(
+                img_cur, uv_cur, half).reshape(n, patch_area)
+            r = patch_cur - patch_ref                      # (N, A)
+            r = jnp.where(ok[:, None], r, 0.0)
+            Jm = jnp.where(ok[:, None, None], J, 0.0)
+            n_meas = jnp.maximum(jnp.sum(ok) * patch_area, 1)
+            chi2 = jnp.sum(r * r) / n_meas.astype(dtype)
+            H = jnp.einsum("nai,naj->ij", Jm, Jm)
+            g = jnp.einsum("nai,na->i", Jm, r)
+            # damped solve for safety in f32
+            H = H + 1e-4 * jnp.eye(6, dtype=dtype) * jnp.trace(H) / 6.0
+            dx = jnp.linalg.solve(H, -g)
+            improved = chi2 < best_chi2
+            new_best_q = jnp.where(improved, T_q, best_q)
+            new_best_t = jnp.where(improved, T_t, best_t)
+            new_best_chi2 = jnp.where(improved, chi2, best_chi2)
+            # rollback semantics: once chi2 stops improving, freeze
+            # (ref nlls_solver_impl.hpp:62-74)
+            stop_now = stopped | (~improved)
+            T_new = Tl.compose(SE3.exp(dx))
+            T_new = T_new.normalize()
+            upd = ~stop_now
+            T_q2 = jnp.where(upd, T_new.q, T_q)
+            T_t2 = jnp.where(upd, T_new.t, T_t)
+            small = jnp.linalg.norm(dx) < cfg.img_align_eps
+            return (T_q2, T_t2, new_best_q, new_best_t, new_best_chi2,
+                    stop_now | small)
+
+        init = (T.q, T.t, T.q, T.t, jnp.asarray(jnp.inf, dtype),
+                jnp.zeros((), bool))
+        out = jax.lax.fori_loop(0, cfg.img_align_n_iter, body, init)
+        T = SE3(q=out[2], t=out[3])                        # best-so-far
+        chi2_out = out[4]
+
+        if level == cfg.img_align_min_level:
+            # count tracked features at the finest aligned level
+            xyz_cur = T.apply(xyz_ref)
+            uv_cur = cam.world2cam(xyz_cur) * scale
+            ok = (ok_ref & (xyz_cur[..., 2] > 1e-3)
+                  & interp.in_bounds(uv_cur, h, w, half + 1))
+            n_tracked = jnp.sum(ok).astype(jnp.int32)
+
+    return T, n_tracked, chi2_out
