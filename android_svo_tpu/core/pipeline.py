@@ -1,0 +1,391 @@
+"""The per-frame VO pipeline: one jitted step composing pyramid -> sparse
+align -> map reprojection -> pose GN -> structure GN -> seed updates ->
+keyframe policy — the TPU-native rebuild of
+`FrameHandlerMono::processFrame` (`frame_handler_mono.cpp:171-312`) and the
+depth-filter frame update (`depth_filter.cpp:237-340`).
+
+The reference splits this across two threads (tracking + mapping) with
+mutex-guarded queues (SURVEY.md §2c); here the depth-filter update is fused
+into the same jitted step as batched arena math — the per-frame work the
+mapper did asynchronously at 5 Hz fits synchronously at hundreds of Hz on
+one chip.  Keyframe insertion (detection + seed spawning + arena writes)
+runs under `lax.cond` so only the taken branch executes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from android_svo_tpu.config import SVOConfig
+from android_svo_tpu.core import depth_filter as df
+from android_svo_tpu.core import state as st
+from android_svo_tpu.core.pose_opt import optimize_pose
+from android_svo_tpu.core.point_opt import optimize_points, select_points_for_optim
+from android_svo_tpu.core.reprojector import reproject_map, _kf_cam_pos
+from android_svo_tpu.geometry.se3 import SE3
+from android_svo_tpu.geometry.triangulation import masked_median
+from android_svo_tpu.ops import detect, interp, matcher
+from android_svo_tpu.ops.pyramid import build_pyramid
+from android_svo_tpu.ops.sparse_align import sparse_img_align
+
+# result codes (ref frame_handler_base.h UpdateResult)
+RES_FAILURE = 0
+RES_NO_KEYFRAME = 1
+RES_IS_KEYFRAME = 2
+
+
+# ---------------------------------------------------------------------------
+# depth-filter frame update (ref depth_filter.cpp:237-340 updateSeeds)
+# ---------------------------------------------------------------------------
+
+def update_seeds(vo: st.VOState, cur_pyr, T_cw: SE3, cam, cfg: SVOConfig):
+    """One batched Bayesian update of every live seed against the current
+    frame: visibility gate -> epipolar ZMSSD match -> tau -> posterior."""
+    seeds = vo.seeds
+    dtype = seeds.mu.dtype
+
+    # pose of cur in each seed's keyframe: T_cur_ref = T_cw o T_wk
+    T_kw = SE3(q=vo.kfs.q_kw[seeds.kf], t=vo.kfs.t_kw[seeds.kf])
+    T_cur_ref = T_cw.compose(T_kw.inverse())
+
+    # age-out (ref :258: seed batch older than `seed_max_kf_age` keyframes)
+    too_old = (vo.kf_batch.astype(jnp.int32) - seeds.batch_id
+               ) > cfg.seed_max_kf_age
+    alive = seeds.valid & ~too_old & vo.kfs.valid[seeds.kf]
+
+    # visibility of the current mean-depth point (ref :263-274)
+    z_mean = 1.0 / jnp.maximum(seeds.mu, 1e-6)
+    xyz_cur = T_cur_ref.apply(seeds.f * z_mean[:, None])
+    in_front = xyz_cur[..., 2] > 1e-3
+    zs = jnp.where(in_front, xyz_cur[..., 2], 1.0)
+    px_mean = cam.world2cam(xyz_cur.at[..., 2].set(zs))
+    h, w = cur_pyr[0].shape
+    visible = alive & in_front & interp.in_bounds(
+        px_mean, h, w, cfg.patch_halfsize + 2)
+
+    # epipolar search range mu +- sqrt(sigma2) in inverse depth (ref :279-281)
+    sig = jnp.sqrt(seeds.sigma2)
+    d_min = 1.0 / jnp.maximum(seeds.mu + sig, 1e-7)
+    d_max = 1.0 / jnp.maximum(seeds.mu - sig, 1e-7)
+    d_max = jnp.minimum(d_max, 1e4)
+
+    z, px_cur, found = matcher.find_epipolar_match(
+        cur_pyr, vo.kfs.pyr, seeds.kf, cam, seeds.px, seeds.f, seeds.level,
+        T_cur_ref, z_mean, d_min, d_max, visible, cfg)
+
+    # measurement variance from 1-px angular error (ref :291-300)
+    ang = df.px_error_angle(cam.fx, cfg.d_filter_px_noise)
+    T_ref_cur = T_cur_ref.inverse()
+    tau = df.compute_tau(T_ref_cur.t, seeds.f, z, ang)
+    tau_inv = df.tau_inverse(z, tau)
+
+    a2, b2, mu2, s22 = df.update_seed(
+        1.0 / jnp.maximum(z, 1e-7), tau_inv * tau_inv,
+        seeds.a, seeds.b, seeds.mu, seeds.sigma2, seeds.z_range)
+    upd = found
+    seeds2 = seeds.replace(
+        a=jnp.where(upd, a2, seeds.a),
+        b=jnp.where(upd, b2, seeds.b),
+        mu=jnp.where(upd, mu2, seeds.mu),
+        sigma2=jnp.where(upd, s22, seeds.sigma2),
+        valid=alive,
+    )
+
+    # failed visible matches count as outlier evidence (ref :303-306: b += 1)
+    failed = visible & ~found
+    seeds2 = seeds2.replace(b=jnp.where(failed, seeds2.b + 1.0, seeds2.b))
+
+    # convergence -> promote to candidate landmarks (ref :310-331)
+    conv = seeds2.valid & df.is_converged(seeds2.sigma2, seeds2.z_range, cfg)
+    vo = promote_converged_seeds(vo.replace(seeds=seeds2), conv, cam, cfg)
+    return vo
+
+
+def promote_converged_seeds(vo: st.VOState, conv: jnp.ndarray, cam,
+                            cfg: SVOConfig, max_new: int = 256):
+    """Move converged seeds into the landmark arena as TYPE_CANDIDATE
+    (the reference's MapPointCandidates handoff, map.cpp:226-231).
+    Allocation is a fixed-size compaction: up to `max_new` per frame."""
+    pts = vo.points
+    seeds = vo.seeds
+    P = pts.pos.shape[0]
+
+    conv_idx = jnp.nonzero(conv, size=max_new, fill_value=-1)[0]
+    free = pts.ptype == st.TYPE_DELETED
+    free_idx = jnp.nonzero(free, size=max_new, fill_value=-1)[0]
+    take = (conv_idx >= 0) & (free_idx >= 0)
+    src = jnp.where(take, conv_idx, 0)
+    dst = jnp.where(take, free_idx, P)       # P = out-of-range drop
+
+    # world position: kf pose^-1 applied to f * z
+    T_kw = SE3(q=vo.kfs.q_kw[seeds.kf[src]], t=vo.kfs.t_kw[seeds.kf[src]])
+    z = 1.0 / jnp.maximum(seeds.mu[src], 1e-7)
+    pos_w = T_kw.inverse().apply(seeds.f[src] * z[:, None])
+
+    mode = "drop"
+    pts2 = pts.replace(
+        pos=pts.pos.at[dst].set(pos_w, mode=mode),
+        ptype=pts.ptype.at[dst].set(
+            jnp.where(take, st.TYPE_CANDIDATE, 0), mode=mode),
+        n_succ=pts.n_succ.at[dst].set(0, mode=mode),
+        n_fail=pts.n_fail.at[dst].set(0, mode=mode),
+        last_optim=pts.last_optim.at[dst].set(0, mode=mode),
+        ref_kf=pts.ref_kf.at[dst].set(seeds.kf[src], mode=mode),
+        ref_px=pts.ref_px.at[dst].set(seeds.px[src], mode=mode),
+        ref_level=pts.ref_level.at[dst].set(seeds.level[src], mode=mode),
+        ref_f=pts.ref_f.at[dst].set(seeds.f[src], mode=mode),
+        obs_kf=pts.obs_kf.at[dst].set(-1, mode=mode),
+        obs_count=pts.obs_count.at[dst].set(0, mode=mode),
+    )
+    # retire the promoted seeds
+    seeds2 = seeds.replace(
+        valid=seeds.valid & ~(conv & jnp.zeros_like(conv).at[src].set(
+            take, mode=mode)))
+    return vo.replace(points=pts2, seeds=seeds2)
+
+
+# ---------------------------------------------------------------------------
+# keyframe insertion (ref frame_handler_mono.cpp:262-312 + depth_filter
+# initializeSeeds :129-151)
+# ---------------------------------------------------------------------------
+
+def select_kf_slot(vo: st.VOState, T_cw: SE3):
+    """First free slot, else evict the keyframe furthest from the camera
+    (ref Map::getFurthestKeyframe + frame_handler_mono.cpp:303-308)."""
+    kfs = vo.kfs
+    any_free = jnp.any(~kfs.valid)
+    first_free = jnp.argmin(kfs.valid.astype(jnp.int32))
+    cam_pos = T_cw.inverse().t
+    kf_pos = SE3(q=kfs.q_kw, t=kfs.t_kw).inverse().t     # (K,3)
+    dist = jnp.linalg.norm(kf_pos - cam_pos, axis=-1)
+    dist = jnp.where(kfs.valid, dist, -1.0)
+    furthest = jnp.argmax(dist)
+    return jnp.where(any_free, first_free, furthest).astype(jnp.int32)
+
+
+def insert_keyframe(vo: st.VOState, cur_pyr, T_cw: SE3, feats, cam,
+                    cfg: SVOConfig, dims) -> st.VOState:
+    """Write the current frame into the keyframe arena: adopt candidate
+    points, record observations, detect new corners, spawn seeds."""
+    dtype = cur_pyr[0].dtype
+    C = dims["C"]
+    slot = select_kf_slot(vo, T_cw)
+    evicting = vo.kfs.valid[slot]
+
+    # ---- scrub state tied to an evicted keyframe ---------------------------
+    seeds = vo.seeds
+    seeds = seeds.replace(valid=seeds.valid & (seeds.kf != slot) | ~evicting
+                          & seeds.valid)
+    pts = vo.points
+    obs_kf = jnp.where((pts.obs_kf == slot) & evicting, -1, pts.obs_kf)
+    # points anchored (for patches) in the evicted KF are dropped
+    # (TODO round 2: re-anchor to another observation instead)
+    ptype = jnp.where((pts.ref_kf == slot) & evicting & pts.valid,
+                      st.TYPE_DELETED, pts.ptype)
+    pts = pts.replace(obs_kf=obs_kf, ptype=ptype)
+
+    # ---- scene depth of current frame --------------------------------------
+    p_w = pts.pos[feats["point"]]
+    xyz_cur = T_cw.apply(p_w)
+    ok = feats["valid"] & (feats["point"] >= 0)
+    depth_med = masked_median(xyz_cur[..., 2], ok)
+    depth_min = jnp.min(jnp.where(ok, xyz_cur[..., 2], jnp.inf))
+    depth_med = jnp.where(jnp.isfinite(depth_med), depth_med,
+                          jnp.asarray(1.0, dtype))
+    depth_min = jnp.where(jnp.isfinite(depth_min), depth_min,
+                          jnp.asarray(0.5, dtype))
+
+    # ---- candidate adoption (ref map.cpp:236-254) ---------------------------
+    adopted = ok & (pts.ptype[feats["point"]] == st.TYPE_CANDIDATE)
+    pid = jnp.where(ok, feats["point"], 0)
+    new_type = pts.ptype.at[pid].set(
+        jnp.where(adopted, st.TYPE_UNKNOWN, pts.ptype[pid]), mode="drop")
+    pts = pts.replace(ptype=new_type)
+
+    # ---- observation records for all matched features ----------------------
+    o_idx = jnp.minimum(pts.obs_count[pid], pts.obs_kf.shape[1] - 1)
+    obs_kf = pts.obs_kf.at[pid, o_idx].set(
+        jnp.where(ok, slot, pts.obs_kf[pid, o_idx]), mode="drop")
+    obs_f = pts.obs_f.at[pid, o_idx].set(
+        jnp.where(ok[:, None], feats["f"], pts.obs_f[pid, o_idx]),
+        mode="drop")
+    obs_count = pts.obs_count.at[pid].add(ok.astype(jnp.int32), mode="drop")
+    pts = pts.replace(obs_kf=obs_kf, obs_f=obs_f, obs_count=obs_count)
+
+    # ---- write the keyframe -------------------------------------------------
+    kfs = vo.kfs
+    kfs = kfs.replace(
+        pyr=tuple(p.at[slot].set(img) for p, img in zip(kfs.pyr, cur_pyr)),
+        q_kw=kfs.q_kw.at[slot].set(T_cw.q),
+        t_kw=kfs.t_kw.at[slot].set(T_cw.t),
+        valid=kfs.valid.at[slot].set(True),
+        frame_id=kfs.frame_id.at[slot].set(vo.frame_id),
+        scene_depth=kfs.scene_depth.at[slot].set(depth_med),
+        ftr_px=kfs.ftr_px.at[slot].set(feats["px"]),
+        ftr_f=kfs.ftr_f.at[slot].set(feats["f"]),
+        ftr_level=kfs.ftr_level.at[slot].set(feats["level"]),
+        ftr_point=kfs.ftr_point.at[slot].set(
+            jnp.where(feats["valid"], feats["point"], -1)),
+        ftr_valid=kfs.ftr_valid.at[slot].set(feats["valid"]),
+    )
+
+    # ---- detect new corners in unoccupied cells, spawn seeds ----------------
+    # (ref DepthFilter::initializeSeeds, depth_filter.cpp:129-151)
+    occupied = feats["valid"]
+    det = detect.detect_features(cur_pyr[:cfg.n_pyr_levels], occupied, cfg)
+    new_mask = det["valid"]
+    f_new = cam.cam2world(det["px"])
+    a0, b0, mu0, s20, zr0 = df.seed_init(
+        jnp.full((C,), 1.0, dtype) * depth_med,
+        jnp.full((C,), 1.0, dtype) * (0.5 * depth_min))
+
+    # allocate seed slots by compaction
+    S = seeds.valid.shape[0]
+    new_idx = jnp.nonzero(new_mask, size=C, fill_value=-1)[0]
+    free_idx = jnp.nonzero(~seeds.valid, size=C, fill_value=-1)[0]
+    take = (new_idx >= 0) & (free_idx >= 0)
+    src = jnp.where(take, new_idx, 0)
+    dst = jnp.where(take, free_idx, S)
+    mode = "drop"
+    batch = vo.kf_batch + 1
+    seeds = seeds.replace(
+        kf=seeds.kf.at[dst].set(slot, mode=mode),
+        px=seeds.px.at[dst].set(det["px"][src], mode=mode),
+        f=seeds.f.at[dst].set(f_new[src], mode=mode),
+        level=seeds.level.at[dst].set(det["level"][src], mode=mode),
+        a=seeds.a.at[dst].set(a0[src], mode=mode),
+        b=seeds.b.at[dst].set(b0[src], mode=mode),
+        mu=seeds.mu.at[dst].set(mu0[src], mode=mode),
+        sigma2=seeds.sigma2.at[dst].set(s20[src], mode=mode),
+        z_range=seeds.z_range.at[dst].set(zr0[src], mode=mode),
+        batch_id=seeds.batch_id.at[dst].set(batch, mode=mode),
+        valid=seeds.valid.at[dst].set(take, mode=mode),
+    )
+
+    return vo.replace(kfs=kfs, points=pts, seeds=seeds, kf_batch=batch)
+
+
+def need_new_keyframe(vo: st.VOState, T_cw: SE3, scene_depth,
+                      cfg: SVOConfig):
+    """Keyframe policy (ref needNewKf, frame_handler_mono.cpp:391-403):
+    new KF iff no existing keyframe is within `kfselect_mindist` x scene
+    depth of the current camera."""
+    cam_pos = T_cw.inverse().t
+    kf_pos = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
+    rel = jnp.linalg.norm(kf_pos - cam_pos, axis=-1) / jnp.maximum(
+        scene_depth, 1e-6)
+    rel = jnp.where(vo.kfs.valid, rel, jnp.inf)
+    return jnp.all(rel > cfg.kfselect_mindist)
+
+
+# ---------------------------------------------------------------------------
+# the fused tracking step (ref processFrame, frame_handler_mono.cpp:171-312)
+# ---------------------------------------------------------------------------
+
+def make_track_frame(cfg: SVOConfig, cam, dims):
+    """Build the jitted `track_frame(vo, img) -> (vo, out)` closure."""
+
+    def track_frame(vo: st.VOState, img: jnp.ndarray):
+        dtype = img.dtype
+        cur_pyr = build_pyramid(img, cfg.total_pyr_levels)
+
+        # STEP 0: motion model = last frame pose (ref :175)
+        T_cw0 = vo.last.T_fw
+
+        # STEP 1: sparse image alignment vs last frame (ref :186-188)
+        last = vo.last
+        p_w = vo.points.pos[last.ftr_point]
+        last_cam_pos = last.T_fw.inverse().t
+        depth_last = jnp.linalg.norm(p_w - last_cam_pos, axis=-1)
+        has_pt = last.ftr_valid & (last.ftr_point >= 0) & (
+            vo.points.valid[last.ftr_point])
+        T_cur_last, n_tracked, _ = sparse_img_align(
+            last.pyr, cur_pyr, cam, SE3.identity(dtype=dtype),
+            last.ftr_px, last.ftr_f, depth_last, has_pt, cfg)
+        T_cw = T_cur_last.compose(last.T_fw)
+
+        # STEP 2: map reprojection + feature alignment (ref :203-216)
+        feats, points2, n_matches = reproject_map(
+            vo, cur_pyr, T_cw, cam, cfg, dims)
+        vo = vo.replace(points=points2)
+
+        # STEP 3: pose optimization (ref :226-233)
+        p_w = vo.points.pos[jnp.maximum(feats["point"], 0)]
+        T_cw_opt, inlier, n_edges, cov, _, _ = optimize_pose(
+            T_cw, p_w, feats["f"], feats["level"], feats["valid"],
+            cam.errorMultiplier2(), cfg)
+        feats["valid"] = feats["valid"] & inlier
+        feats["point"] = jnp.where(feats["valid"], feats["point"], -1)
+
+        # STEP 4: structure optimization (ref :243)
+        slots, sel = select_points_for_optim(
+            vo.points.last_optim, vo.points.valid
+            & (vo.points.obs_count >= 2), cfg.structureoptim_max_pts)
+        obs_kf = vo.points.obs_kf[slots]
+        obs_ok = (obs_kf >= 0) & vo.kfs.valid[jnp.maximum(obs_kf, 0)]
+        ks = jnp.maximum(obs_kf, 0)
+        pos_new, _ = optimize_points(
+            vo.points.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
+            vo.points.obs_f[slots], obs_ok, sel, cfg.structureoptim_n_iter)
+        pts = vo.points
+        pts = pts.replace(
+            pos=pts.pos.at[slots].set(
+                jnp.where(sel[:, None], pos_new, pts.pos[slots])),
+            last_optim=pts.last_optim.at[slots].set(
+                jnp.where(sel, vo.frame_id, pts.last_optim[slots])))
+        vo = vo.replace(points=pts)
+
+        # quality gate (ref setTrackingQuality, frame_handler_base.cpp:165)
+        n_last = jnp.sum(vo.last.ftr_valid).astype(jnp.int32)
+        tracking_bad = (n_edges < cfg.quality_min_fts) | (
+            (n_last - n_edges) > cfg.quality_max_drop_fts)
+        failure = tracking_bad | (n_matches < cfg.min_reproj_matches)
+        # on failure keep the previous pose (ref :209-216 reset to last)
+        T_final = SE3(
+            q=jnp.where(failure, vo.last.q_fw, T_cw_opt.q),
+            t=jnp.where(failure, vo.last.t_fw, T_cw_opt.t))
+
+        # STEP 5: depth-filter update with this frame (mapping-thread work)
+        vo = update_seeds(vo, cur_pyr, T_final, cam, cfg)
+
+        # STEP 6: keyframe decision + insertion (ref :258-312)
+        xyz_cur = T_final.apply(vo.points.pos[jnp.maximum(feats["point"], 0)])
+        okd = feats["valid"]
+        scene_depth = masked_median(xyz_cur[..., 2], okd)
+        scene_depth = jnp.where(jnp.isfinite(scene_depth), scene_depth, 1.0)
+        make_kf = (~failure) & need_new_keyframe(vo, T_final, scene_depth,
+                                                 cfg)
+
+        vo = jax.lax.cond(
+            make_kf,
+            lambda v: insert_keyframe(v, cur_pyr, T_final, feats, cam, cfg,
+                                      dims),
+            lambda v: v,
+            vo)
+
+        # commit the new "last frame"
+        last_new = st.FrameState(
+            pyr=cur_pyr, q_fw=T_final.q, t_fw=T_final.t,
+            ftr_px=feats["px"], ftr_f=feats["f"], ftr_level=feats["level"],
+            ftr_point=feats["point"], ftr_valid=feats["valid"])
+        vo = vo.replace(last=last_new, frame_id=vo.frame_id + 1,
+                        pose_cov=cov)
+
+        result = jnp.where(failure, RES_FAILURE,
+                           jnp.where(make_kf, RES_IS_KEYFRAME,
+                                     RES_NO_KEYFRAME))
+        out = {
+            "T_cw": T_final,
+            "result": result,
+            "n_tracked": n_tracked,
+            "n_matches": n_matches,
+            "n_edges": n_edges,
+            "n_seeds": jnp.sum(vo.seeds.valid).astype(jnp.int32),
+            "n_points": jnp.sum(vo.points.valid).astype(jnp.int32),
+        }
+        return vo, out
+
+    return track_frame

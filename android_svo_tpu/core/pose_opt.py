@@ -1,0 +1,116 @@
+"""Motion-only bundle adjustment (pose refinement) — TPU-native rebuild of
+the reference's `pose_optimizer::optimizeGaussNewton`
+(`pose_optimizer.cpp:31-181`).
+
+Reference semantics reproduced:
+  * residuals on the unit plane between the measured bearing and the
+    reprojected landmark, scaled by 1/2^level (pyramid-level covariance
+    weighting, pose_optimizer.cpp:45-49);
+  * robust scale via MAD on the initial residuals (:51-64), Tukey weights;
+  * fixed GN iteration count with best-so-far rollback (:69-117);
+  * final outlier classification against `reproj_thresh/focal` per level,
+    returning an inlier mask instead of deleting features (:148-162);
+  * pose covariance from the final normal equations (:142).
+
+All features are processed as one batched computation; the 6x6 solve runs
+on-chip.  Update convention: T_fw <- exp(dx) o T_fw (left-multiplicative,
+matching `SE3::exp(dT) * T_old` in the reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from android_svo_tpu.config import SVOConfig
+from android_svo_tpu.geometry import robust
+from android_svo_tpu.geometry.camera import project2d
+from android_svo_tpu.geometry.se3 import SE3
+from android_svo_tpu.ops.sparse_align import _geo_jacobian
+
+
+def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
+                  level: jnp.ndarray, valid: jnp.ndarray, focal,
+                  cfg: SVOConfig):
+    """Refine a frame pose against its matched 3D points.
+
+    Args:
+      p_w: (C, 3) landmark world positions.
+      f_meas: (C, 3) measured unit bearings in the frame.
+      level: (C,) pyramid level of each match.
+      valid: (C,) mask.
+      focal: scalar focal length (error scaling, ref errorMultiplier2).
+
+    Returns (T_fw, inlier_mask, n_inliers, cov, chi2_init, chi2_final).
+    """
+    dtype = p_w.dtype
+    lvl_scale = 1.0 / (2.0 ** level.astype(dtype))          # (C,)
+    uv_meas = project2d(f_meas)
+
+    def residuals(T: SE3):
+        xyz_f = T.apply(p_w)
+        ok = valid & (xyz_f[..., 2] > 1e-6)
+        z_safe = jnp.where(ok, xyz_f[..., 2], 1.0)
+        xyz_safe = xyz_f.at[..., 2].set(z_safe)
+        e = (project2d(xyz_safe) - uv_meas) * lvl_scale[:, None]
+        e = jnp.where(ok[:, None], e, 0.0)
+        return e, xyz_safe, ok
+
+    # robust scale from initial residual norms (ref :51-64)
+    e0, _, ok0 = residuals(T_fw_init)
+    enorm0 = jnp.linalg.norm(e0, axis=-1)
+    scale = robust.mad_scale(enorm0, ok0)
+    scale = jnp.maximum(scale, 1e-7)
+    chi2_init = jnp.sum(enorm0 * enorm0)
+
+    def body(it, carry):
+        del it
+        q, t, bq, bt, bchi2 = carry
+        T = SE3(q=q, t=t)
+        e, xyz_f, ok = residuals(T)
+        enorm = jnp.linalg.norm(e, axis=-1)
+        w = robust.tukey_weight(enorm / scale) * ok.astype(dtype)
+        chi2 = jnp.sum(w * enorm * enorm)
+        J = _geo_jacobian(xyz_f) * lvl_scale[:, None, None]  # (C,2,6)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("cij,cik->jk", Jw, J)
+        g = jnp.einsum("cij,ci->j", Jw, e)
+        H = H + 1e-6 * jnp.eye(6, dtype=dtype) * (jnp.trace(H) / 6.0 + 1.0)
+        dx = jnp.linalg.solve(H, -g)
+        T_new = SE3.exp(dx).compose(T).normalize()
+        improved = chi2 < bchi2
+        bq = jnp.where(improved, q, bq)
+        bt = jnp.where(improved, t, bt)
+        bchi2 = jnp.where(improved, chi2, bchi2)
+        # keep stepping from the new estimate (rollback happens via best-so-far)
+        return (T_new.q, T_new.t, bq, bt, bchi2)
+
+    init = (T_fw_init.q, T_fw_init.t, T_fw_init.q, T_fw_init.t,
+            jnp.asarray(jnp.inf, dtype))
+    q, t, bq, bt, bchi2 = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body,
+                                            init)
+    # evaluate the last iterate too (fori_loop ends after stepping)
+    T_last = SE3(q=q, t=t)
+    e, xyz_f, ok = residuals(T_last)
+    enorm = jnp.linalg.norm(e, axis=-1)
+    w = robust.tukey_weight(enorm / scale) * ok.astype(dtype)
+    chi2_last = jnp.sum(w * enorm * enorm)
+    use_last = chi2_last < bchi2
+    T_out = SE3(q=jnp.where(use_last, q, bq), t=jnp.where(use_last, t, bt))
+
+    # final classification + covariance (ref :142-162)
+    e, xyz_f, ok = residuals(T_out)
+    enorm = jnp.linalg.norm(e, axis=-1)
+    # threshold in unit-plane units: reproj_thresh px / focal (level-scaled
+    # residuals already fold in 1/2^level)
+    thresh = cfg.poseoptim_thresh / focal
+    inlier = ok & (enorm < thresh)
+    w = robust.tukey_weight(enorm / scale) * ok.astype(dtype)
+    J = _geo_jacobian(xyz_f) * lvl_scale[:, None, None]
+    Jw = J * w[:, None, None]
+    H = jnp.einsum("cij,cik->jk", Jw, J)
+    H = H + 1e-6 * jnp.eye(6, dtype=dtype) * (jnp.trace(H) / 6.0 + 1.0)
+    cov = jnp.linalg.inv(H)
+    chi2_final = jnp.sum(enorm * enorm)
+    return (T_out, inlier, jnp.sum(inlier).astype(jnp.int32), cov,
+            chi2_init, chi2_final)

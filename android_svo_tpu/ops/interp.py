@@ -74,6 +74,31 @@ def extract_patches_with_grad(img: jnp.ndarray, centers: jnp.ndarray,
     return (val.reshape(n, p, p), dx.reshape(n, p, p), dy.reshape(n, p, p))
 
 
+def bilinear_sample_stack(imgs: jnp.ndarray, idx: jnp.ndarray,
+                          uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample a stack of images (K, H, W) at per-item image index idx (N,)
+    and coords uv (N, ..., 2) — the gather substrate for reading patches out
+    of the keyframe arena (each feature references its own keyframe)."""
+    k, h, w = imgs.shape
+    x = uv[..., 0]
+    y = uv[..., 1]
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    ii = idx.reshape(idx.shape + (1,) * (uv.ndim - 2))
+    v00 = imgs[ii, y0, x0]
+    v01 = imgs[ii, y0, x1]
+    v10 = imgs[ii, y1, x0]
+    v11 = imgs[ii, y1, x1]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
 def in_bounds(uv: jnp.ndarray, h: int, w: int, margin: float) -> jnp.ndarray:
     """Validity of sample centers with a border margin (ref isInFrame +
     patch-halfsize guards throughout the matcher/aligner)."""
