@@ -45,6 +45,7 @@ class SVOConfig:
     patch_halfsize: int = 4             # 8x8 matcher patch (ref matcher.h:70-71)
     align_max_iter: int = 10            # ICLK iterations (ref matcher.h:86)
     max_epi_search_steps: int = 100     # cap on epipolar scan (ref matcher.cpp:288)
+    max_search_level: int = 2           # cap on matcher search level (graph size)
     zmssd_threshold_factor: float = 2000.0  # accept if < factor*area (ref patch_score.h:46)
     max_view_angle_cos: float = 0.5     # cos(60°) closest-view gate (ref point.cpp:122)
     subpix_n_iter: int = 10             # subpixel refinement iterations

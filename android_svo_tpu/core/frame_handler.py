@@ -23,6 +23,7 @@ import numpy as np
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.core import pipeline, state as st
 from android_svo_tpu.core.initialization import bootstrap_pair
+from android_svo_tpu.parallel.ba import local_ba, select_core_keyframes
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.ops import detect
 from android_svo_tpu.ops.detect import cell_index
@@ -151,6 +152,7 @@ class FrameHandler:
         self._jit_boot = jax.jit(partial(bootstrap_pair, cam=cam, cfg=cfg))
         self._jit_init_map = jax.jit(partial(
             init_map_from_bootstrap, cam=cam, cfg=cfg, dims=self.dims))
+        self._jit_ba = jax.jit(self._run_local_ba)
 
     # -- stage bodies ---------------------------------------------------------
     def _pyr_det(self, img):
@@ -209,11 +211,38 @@ class FrameHandler:
         return TrackResult(T_cw=T_cw, stage=self.stage,
                            result=pipeline.RES_IS_KEYFRAME)
 
+    def _run_local_ba(self, vo: st.VOState) -> st.VOState:
+        """Local BA over the core keyframe window after keyframe insertion
+        (the reference's compiled-out local BA hook,
+        frame_handler_mono.cpp:280-295)."""
+        cfg = self.cfg
+        T_cw = vo.last.T_fw
+        n_core = min(cfg.loba_num_kfs + 1, cfg.max_n_kfs)
+        core, fixed = select_core_keyframes(
+            vo.kfs.q_kw, vo.kfs.t_kw, vo.kfs.valid, T_cw, n_core)
+        pvalid = vo.points.valid & (vo.points.obs_count >= 2)
+        q2, t2, pos2, _ = local_ba(
+            vo.points.pos, pvalid, vo.points.obs_kf, vo.points.obs_f,
+            vo.kfs.q_kw, vo.kfs.t_kw, core, fixed,
+            self.cam.errorMultiplier2(), cfg)
+        kfs = vo.kfs.replace(q_kw=q2, t_kw=t2)
+        pts = vo.points.replace(pos=pos2)
+        # the newest keyframe IS the current frame: propagate its BA-adjusted
+        # pose into the tracked last-frame state
+        newest = jnp.argmax(jnp.where(kfs.valid, kfs.frame_id, -1))
+        is_cur = kfs.frame_id[newest] == (vo.frame_id - 1)
+        last = vo.last.replace(
+            q_fw=jnp.where(is_cur, q2[newest], vo.last.q_fw),
+            t_fw=jnp.where(is_cur, t2[newest], vo.last.t_fw))
+        return vo.replace(kfs=kfs, points=pts, last=last)
+
     def _process_default(self, img) -> TrackResult:
         if self.stage == STAGE_RELOCALIZING:
             self._prepare_relocalization()
         self.vo, out = self._jit_track(self.vo, img)
         result = int(out["result"])
+        if result == pipeline.RES_IS_KEYFRAME and self.cfg.loba_n_iter > 0:
+            self.vo = self._jit_ba(self.vo)
         if result == pipeline.RES_FAILURE:
             self._n_fail += 1
             if self._n_fail >= 2:

@@ -137,7 +137,7 @@ def find_match_direct(cur_pyr, ref_imgs_by_level, kf_idx, cam,
     halfpatch = cfg.patch_halfsize
     A = get_warp_matrix_affine(cam, px_ref, f_ref, depth_ref, T_cur_ref,
                                level_ref, halfpatch)
-    n_levels = len(cur_pyr)
+    n_levels = min(len(cur_pyr), cfg.max_search_level + 1)
     search_level = get_best_search_level(A, n_levels - 1)
     patch_b, ok_warp = warp_affine_stack(
         ref_imgs_by_level, kf_idx, A, px_ref, level_ref, search_level,
@@ -185,7 +185,7 @@ def find_epipolar_match(cur_pyr, ref_imgs_by_level, kf_idx, cam,
     area = (2 * halfpatch) ** 2
     n = px_ref.shape[0]
     dtype = px_ref.dtype
-    n_levels = len(cur_pyr)
+    n_levels = min(len(cur_pyr), cfg.max_search_level + 1)
 
     # endpoints of the epipolar segment on the cur unit plane
     uv_A = project2d(T_cur_ref.apply(f_ref * d_min[..., None]))

@@ -37,6 +37,9 @@ def main():
         args.width, args.height = 320, 240
         args.step = 0.05
 
+    from android_svo_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from android_svo_tpu.config import SVOConfig
     from android_svo_tpu.core import frame_handler as fh
     from android_svo_tpu.core import pipeline
