@@ -1,0 +1,128 @@
+"""Pallas patch kernels vs the pure-JAX spec (interpret mode on CPU).
+
+The fallback implementations in ops/patch_pallas.py are the semantic spec
+(matching interp.extract_patches* conventions); the Pallas kernels must agree
+for interior samples.  Border/out-of-level behaviour is don't-care by the
+masking contract (module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from android_svo_tpu.ops import patch_pallas as pp
+from android_svo_tpu.ops.pyramid import build_stack
+
+H, W, L = 64, 256, 3
+
+
+@pytest.fixture(scope="module")
+def stack():
+    img = jax.random.uniform(jax.random.PRNGKey(1), (H, W), jnp.float32,
+                             minval=0.0, maxval=255.0)
+    return build_stack(img, L)
+
+
+def _interior_uv(key, n, lvl, margin):
+    wl = W >> lvl
+    hl = H >> lvl
+    k1, k2 = jax.random.split(key)
+    return jnp.stack([
+        jax.random.uniform(k1, (n,), minval=margin, maxval=wl - margin),
+        jax.random.uniform(k2, (n,), minval=margin, maxval=hl - margin),
+    ], axis=-1)
+
+
+class TestSamplePatches:
+    @pytest.mark.parametrize("half,grad", [(4, False), (4, True), (2, True)])
+    def test_matches_fallback(self, stack, half, grad):
+        n = 6
+        parts = []
+        lvls = []
+        for lvl in range(L):
+            uv = _interior_uv(jax.random.PRNGKey(10 + lvl), n, lvl,
+                              half + 3)
+            parts.append(uv)
+            lvls.append(jnp.full((n,), lvl, jnp.int32))
+        uv = jnp.concatenate(parts)
+        lvl = jnp.concatenate(lvls)
+        ref = pp.sample_patches(stack, lvl, uv, half, grad,
+                                use_pallas=False)
+        out = pp.sample_patches(stack, lvl, uv, half, grad, interpret=True)
+        if grad:
+            for a, b, name in zip(ref, out, ["patch", "dx", "dy"]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-3, err_msg=name)
+        else:
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                       atol=1e-3)
+
+    def test_integer_coords_exact(self, stack):
+        uv = jnp.array([[20.0, 17.0], [100.0, 40.0]], jnp.float32)
+        lvl = jnp.zeros((2,), jnp.int32)
+        out = pp.sample_patches(stack, lvl, uv, 4, interpret=True)
+        img = np.asarray(stack[0])
+        for i, (x, y) in enumerate([(20, 17), (100, 40)]):
+            np.testing.assert_allclose(
+                np.asarray(out[i]), img[y - 4:y + 4, x - 4:x + 4], atol=1e-4)
+
+    def test_garbage_inputs_are_finite(self, stack):
+        uv = jnp.array([[jnp.nan, 1e9], [-50.0, -50.0], [1e9, jnp.nan]],
+                       jnp.float32)
+        lvl = jnp.array([0, 7, -3], jnp.int32)
+        out = pp.sample_patches(stack, lvl, uv, 4, interpret=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestEpiScan:
+    def test_finds_planted_patch(self, stack):
+        # take a real patch from the image, scan a segment through it
+        img = stack[0]
+        cx, cy = 120.0, 30.0
+        ref = pp.sample_patches(stack, jnp.zeros((1,), jnp.int32),
+                                jnp.array([[cx, cy]], jnp.float32), 4,
+                                use_pallas=False)
+        uv_a = jnp.array([[cx - 8.0, cy - 4.0]], jnp.float32)
+        uv_b = jnp.array([[cx + 8.0, cy + 4.0]], jnp.float32)
+        lvl = jnp.zeros((1,), jnp.int32)
+        for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
+            t, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=33,
+                               half=4, **kwargs)
+            assert abs(float(t[0]) - 0.5) < 0.04, kwargs
+            assert float(s[0]) < 1.0, kwargs
+
+    def test_matches_fallback(self, stack):
+        n = 5
+        key = jax.random.PRNGKey(3)
+        uv_a = _interior_uv(key, n, 0, 12)
+        uv_b = uv_a + 10.0
+        lvl = jnp.zeros((n,), jnp.int32)
+        ref = pp.sample_patches(stack, lvl, uv_a, 4, use_pallas=False)
+        t0, s0 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=17,
+                             half=4, use_pallas=False)
+        t1, s1 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=17,
+                             half=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_out_of_image_segment_scores_inf(self, stack):
+        uv_a = jnp.array([[-100.0, -100.0]], jnp.float32)
+        uv_b = jnp.array([[-80.0, -100.0]], jnp.float32)
+        lvl = jnp.zeros((1,), jnp.int32)
+        ref = jnp.ones((1, 8, 8), jnp.float32)
+        for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
+            _, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=9,
+                               half=4, **kwargs)
+            assert not np.isfinite(float(s[0])), kwargs
+
+
+class TestStack:
+    def test_levels_placed_top_left(self):
+        img = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+        st = build_stack(img, 3)
+        assert st.shape == (3, H, W)
+        np.testing.assert_allclose(np.asarray(st[0]), np.asarray(img))
+        assert float(jnp.abs(st[1, H // 2:, :]).max()) == 0.0
+        assert float(jnp.abs(st[1, :, W // 2:]).max()) == 0.0
