@@ -255,6 +255,34 @@ class FrameHandler:
             n_matches=int(out["n_matches"]), n_edges=int(out["n_edges"]),
             n_seeds=int(out["n_seeds"]), n_points=int(out["n_points"]))
 
+    def relocalize_frame_at_pose(self, kf_frame_id: int, T_cw_guess: SE3,
+                                 img, timestamp: float = 0.0) -> TrackResult:
+        """External relocalization hook (ref relocalizeFrameAtPose,
+        frame_handler_mono.cpp:351-367): a place-recognition module hands us
+        a keyframe id + pose guess; we seat the tracker on that keyframe and
+        track the provided image against it.  The seated reference keeps the
+        keyframe's own stored pose (the jitted step reconstructs reference
+        structure from `last.T_fw`, so the guess serves only as the fallback
+        pose reported on failure — the alignment recovers the relative pose
+        itself, as in relocalizeFrame, frame_handler_mono.cpp:331-333)."""
+        vo = self.vo
+        ids = np.asarray(vo.kfs.frame_id)
+        valid = np.asarray(vo.kfs.valid)
+        match = np.nonzero(valid & (ids == kf_frame_id))[0]
+        if match.size == 0:
+            return TrackResult(T_cw=T_cw_guess, stage=self.stage,
+                               result=pipeline.RES_FAILURE)
+        k = int(match[0])
+        last = st.FrameState(
+            pyr=tuple(p[k] for p in vo.kfs.pyr),
+            q_fw=vo.kfs.q_kw[k], t_fw=vo.kfs.t_kw[k],
+            ftr_px=vo.kfs.ftr_px[k], ftr_f=vo.kfs.ftr_f[k],
+            ftr_level=vo.kfs.ftr_level[k], ftr_point=vo.kfs.ftr_point[k],
+            ftr_valid=vo.kfs.ftr_valid[k])
+        self.vo = vo.replace(last=last)
+        self.stage = STAGE_DEFAULT_FRAME
+        return self._process_default(jnp.asarray(img, jnp.float32))
+
     def _prepare_relocalization(self):
         """Replace the lost last-frame with the closest keyframe so the next
         track aligns against it (ref relocalizeFrame,

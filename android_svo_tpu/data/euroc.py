@@ -70,6 +70,26 @@ def _parse_sensor_yaml(path: str):
     return vals
 
 
+def load_imu(root: str, imu: str = "imu0") -> Optional[dict]:
+    """IMU stream loader — the analog of the reference's accelerometer
+    plumbing (`sensor_manager.cpp:35-61`; dead code in the live path,
+    `android_main.cpp:320-321`).  Provided for parity and for downstream
+    gravity-alignment / motion priors.  Returns
+    {"stamps": (N,), "gyro": (N,3) rad/s, "accel": (N,3) m/s^2} or None."""
+    imu_csv = os.path.join(root, "mav0", imu, "data.csv")
+    if not os.path.exists(imu_csv):
+        return None
+    rows = []
+    with open(imu_csv) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            rows.append([float(x) for x in row[:7]])
+    arr = np.asarray(rows)
+    return {"stamps": arr[:, 0] * 1e-9, "gyro": arr[:, 1:4],
+            "accel": arr[:, 4:7]}
+
+
 def load_euroc(root: str, cam: str = "cam0",
                load_gt: bool = True) -> EurocSequence:
     cam_dir = os.path.join(root, "mav0", cam)
