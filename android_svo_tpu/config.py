@@ -67,6 +67,10 @@ class SVOConfig:
     structureoptim_max_pts: int = 20    # points refined per frame (ref frame_handler_base.cpp:190)
     structureoptim_n_iter: int = 5
 
+    # ---- relocalization --------------------------------------------------------
+    reloc_min_tracked: int = 30         # accept gate: sparse-align tracked count
+                                        # (ref frame_handler_mono.cpp:334)
+
     # ---- keyframe policy ------------------------------------------------------
     kfselect_mindist: float = 0.06      # relative to scene depth (android default)
     max_n_kfs: int = 16                 # keyframe arena capacity (0=unbounded in ref; we

@@ -27,7 +27,7 @@ from android_svo_tpu.parallel.ba import local_ba, select_core_keyframes
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.ops import detect
 from android_svo_tpu.ops.detect import cell_index
-from android_svo_tpu.ops.pyramid import build_pyramid
+from android_svo_tpu.ops.pyramid import build_pyramid, stack_from_pyramid
 
 STAGE_PAUSED = 0
 STAGE_FIRST_FRAME = 1
@@ -73,6 +73,10 @@ def init_map_from_bootstrap(vo: st.VOState, boot, ref_pyr, cur_pyr,
     dtype = boot["xyz_ref"].dtype
     good = boot["inlier"]
     slots = jnp.arange(C, dtype=jnp.int32)
+    ref_stack = stack_from_pyramid(ref_pyr)
+    cur_stack = stack_from_pyramid(cur_pyr)
+    px_ref = (jnp.stack([boot["px_ref_x"], boot["px_ref_y"]], axis=-1)
+              if "px_ref_x" in boot else boot["px_ref"])
 
     # landmarks in world frame (slot i = correspondence i)
     T_w_ref = T_ref_w.inverse()
@@ -85,13 +89,13 @@ def init_map_from_bootstrap(vo: st.VOState, boot, ref_pyr, cur_pyr,
         n_succ=pts.n_succ.at[slots].set(0),
         n_fail=pts.n_fail.at[slots].set(0),
         ref_kf=pts.ref_kf.at[slots].set(0),
-        ref_px=pts.ref_px.at[slots].set(
-            jnp.stack([boot["px_ref_x"], boot["px_ref_y"]], axis=-1)
-            if "px_ref_x" in boot else boot["px_ref"]),
+        ref_px=pts.ref_px.at[slots].set(px_ref),
         ref_level=pts.ref_level.at[slots].set(det_level),
         ref_f=pts.ref_f.at[slots].set(boot["f_ref"]),
         obs_kf=pts.obs_kf.at[slots, 0].set(jnp.where(good, 0, -1)),
         obs_f=pts.obs_f.at[slots, 0].set(boot["f_ref"]),
+        obs_px=pts.obs_px.at[slots, 0].set(px_ref),
+        obs_level=pts.obs_level.at[slots, 0].set(det_level),
         obs_count=pts.obs_count.at[slots].set(good.astype(jnp.int32)),
     )
     vo = vo.replace(points=pts)
@@ -100,7 +104,7 @@ def init_map_from_bootstrap(vo: st.VOState, boot, ref_pyr, cur_pyr,
     point_ids = jnp.where(good, slots, -1)
     kfs = vo.kfs
     kfs = kfs.replace(
-        pyr=tuple(p.at[0].set(img) for p, img in zip(kfs.pyr, ref_pyr)),
+        stack=kfs.stack.at[0].set(ref_stack),
         q_kw=kfs.q_kw.at[0].set(T_ref_w.q),
         t_kw=kfs.t_kw.at[0].set(T_ref_w.t),
         valid=kfs.valid.at[0].set(True),
@@ -121,10 +125,11 @@ def init_map_from_bootstrap(vo: st.VOState, boot, ref_pyr, cur_pyr,
     feats2 = _scatter_to_cells(boot["px_cur"], boot["f_cur"],
                                jnp.zeros((C,), jnp.int32), point_ids, good,
                                cfg, dims, cam.width)
-    vo = pipeline.insert_keyframe(vo, cur_pyr, T_cw2, feats2, cam, cfg, dims)
+    vo = pipeline.insert_keyframe(vo, cur_pyr, cur_stack, T_cw2, feats2,
+                                  cam, cfg, dims)
 
     last = st.FrameState(
-        pyr=cur_pyr, q_fw=T_cw2.q, t_fw=T_cw2.t,
+        stack=cur_stack, q_fw=T_cw2.q, t_fw=T_cw2.t,
         ftr_px=feats2["px"], ftr_f=feats2["f"], ftr_level=feats2["level"],
         ftr_point=feats2["point"], ftr_valid=feats2["valid"])
     return vo.replace(last=last, frame_id=jnp.asarray(2, jnp.int32))
@@ -237,15 +242,21 @@ class FrameHandler:
         return vo.replace(kfs=kfs, points=pts, last=last)
 
     def _process_default(self, img) -> TrackResult:
-        if self.stage == STAGE_RELOCALIZING:
+        was_reloc = self.stage == STAGE_RELOCALIZING
+        if was_reloc:
             self._prepare_relocalization()
         self.vo, out = self._jit_track(self.vo, img)
         result = int(out["result"])
+        if was_reloc and int(out["n_tracked"]) <= self.cfg.reloc_min_tracked:
+            # relocalization accept gate: sparse alignment against the
+            # closest keyframe must track >30 features before resuming
+            # (ref relocalizeFrame, frame_handler_mono.cpp:331-347)
+            result = pipeline.RES_FAILURE
         if result == pipeline.RES_IS_KEYFRAME and self.cfg.loba_n_iter > 0:
             self.vo = self._jit_ba(self.vo)
         if result == pipeline.RES_FAILURE:
             self._n_fail += 1
-            if self._n_fail >= 2:
+            if was_reloc or self._n_fail >= 2:
                 self.stage = STAGE_RELOCALIZING
         else:
             self._n_fail = 0
@@ -274,7 +285,7 @@ class FrameHandler:
                                result=pipeline.RES_FAILURE)
         k = int(match[0])
         last = st.FrameState(
-            pyr=tuple(p[k] for p in vo.kfs.pyr),
+            stack=vo.kfs.stack[k],
             q_fw=vo.kfs.q_kw[k], t_fw=vo.kfs.t_kw[k],
             ftr_px=vo.kfs.ftr_px[k], ftr_f=vo.kfs.ftr_f[k],
             ftr_level=vo.kfs.ftr_level[k], ftr_point=vo.kfs.ftr_point[k],
@@ -294,7 +305,7 @@ class FrameHandler:
         dist[~np.asarray(vo.kfs.valid)] = np.inf
         k = int(np.argmin(dist))
         last = st.FrameState(
-            pyr=tuple(p[k] for p in vo.kfs.pyr),
+            stack=vo.kfs.stack[k],
             q_fw=vo.kfs.q_kw[k], t_fw=vo.kfs.t_kw[k],
             ftr_px=vo.kfs.ftr_px[k], ftr_f=vo.kfs.ftr_f[k],
             ftr_level=vo.kfs.ftr_level[k], ftr_point=vo.kfs.ftr_point[k],

@@ -28,7 +28,7 @@ from android_svo_tpu.core.reprojector import reproject_map, _kf_cam_pos
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.geometry.triangulation import masked_median
 from android_svo_tpu.ops import detect, interp, matcher
-from android_svo_tpu.ops.pyramid import build_pyramid
+from android_svo_tpu.ops.pyramid import build_pyramid, stack_from_pyramid
 from android_svo_tpu.ops.sparse_align import sparse_img_align
 
 # result codes (ref frame_handler_base.h UpdateResult)
@@ -41,7 +41,8 @@ RES_IS_KEYFRAME = 2
 # depth-filter frame update (ref depth_filter.cpp:237-340 updateSeeds)
 # ---------------------------------------------------------------------------
 
-def update_seeds(vo: st.VOState, cur_pyr, T_cw: SE3, cam, cfg: SVOConfig):
+def update_seeds(vo: st.VOState, cur_stack, T_cw: SE3, cam,
+                 cfg: SVOConfig):
     """One batched Bayesian update of every live seed against the current
     frame: visibility gate -> epipolar ZMSSD match -> tau -> posterior."""
     seeds = vo.seeds
@@ -62,9 +63,8 @@ def update_seeds(vo: st.VOState, cur_pyr, T_cw: SE3, cam, cfg: SVOConfig):
     in_front = xyz_cur[..., 2] > 1e-3
     zs = jnp.where(in_front, xyz_cur[..., 2], 1.0)
     px_mean = cam.world2cam(xyz_cur.at[..., 2].set(zs))
-    h, w = cur_pyr[0].shape
     visible = alive & in_front & interp.in_bounds(
-        px_mean, h, w, cfg.patch_halfsize + 2)
+        px_mean, cam.height, cam.width, cfg.patch_halfsize + 2)
 
     # epipolar search range mu +- sqrt(sigma2) in inverse depth (ref :279-281)
     sig = jnp.sqrt(seeds.sigma2)
@@ -73,8 +73,8 @@ def update_seeds(vo: st.VOState, cur_pyr, T_cw: SE3, cam, cfg: SVOConfig):
     d_max = jnp.minimum(d_max, 1e4)
 
     z, px_cur, found = matcher.find_epipolar_match(
-        cur_pyr, vo.kfs.pyr, seeds.kf, cam, seeds.px, seeds.f, seeds.level,
-        T_cur_ref, z_mean, d_min, d_max, visible, cfg)
+        cur_stack, vo.kfs.stack, seeds.kf, cam, seeds.px, seeds.f,
+        seeds.level, T_cur_ref, z_mean, d_min, d_max, visible, cfg)
 
     # measurement variance from 1-px angular error (ref :291-300)
     ang = df.px_error_angle(cam.fx, cfg.d_filter_px_noise)
@@ -166,11 +166,11 @@ def select_kf_slot(vo: st.VOState, T_cw: SE3):
     return jnp.where(any_free, first_free, furthest).astype(jnp.int32)
 
 
-def insert_keyframe(vo: st.VOState, cur_pyr, T_cw: SE3, feats, cam,
-                    cfg: SVOConfig, dims) -> st.VOState:
+def insert_keyframe(vo: st.VOState, cur_pyr, cur_stack, T_cw: SE3, feats,
+                    cam, cfg: SVOConfig, dims) -> st.VOState:
     """Write the current frame into the keyframe arena: adopt candidate
     points, record observations, detect new corners, spawn seeds."""
-    dtype = cur_pyr[0].dtype
+    dtype = cur_stack.dtype
     C = dims["C"]
     slot = select_kf_slot(vo, T_cw)
     evicting = vo.kfs.valid[slot]
@@ -180,12 +180,29 @@ def insert_keyframe(vo: st.VOState, cur_pyr, T_cw: SE3, feats, cam,
     seeds = seeds.replace(valid=seeds.valid & (seeds.kf != slot) | ~evicting
                           & seeds.valid)
     pts = vo.points
-    obs_kf = jnp.where((pts.obs_kf == slot) & evicting, -1, pts.obs_kf)
-    # points anchored (for patches) in the evicted KF are dropped
-    # (TODO round 2: re-anchor to another observation instead)
-    ptype = jnp.where((pts.ref_kf == slot) & evicting & pts.valid,
-                      st.TYPE_DELETED, pts.ptype)
-    pts = pts.replace(obs_kf=obs_kf, ptype=ptype)
+    evict_obs = (pts.obs_kf == slot) & evicting
+    obs_kf = jnp.where(evict_obs, -1, pts.obs_kf)
+    # points anchored (for patches) in the evicted KF re-anchor to another
+    # surviving observation (the reference's deleteFrameRef keeps the point
+    # alive as long as observations remain, map.cpp:66-99); only points with
+    # no other observation are dropped.
+    obs_alive = (obs_kf >= 0) & vo.kfs.valid[jnp.clip(obs_kf, 0,
+                                                      vo.kfs.valid.shape[0]
+                                                      - 1)]
+    alt = jnp.argmax(obs_alive, axis=-1)                     # (P,)
+    has_alt = jnp.any(obs_alive, axis=-1)
+    need = (pts.ref_kf == slot) & evicting & pts.valid
+    take = lambda a: jnp.take_along_axis(  # noqa: E731
+        a, alt.reshape((alt.shape[0],) + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    ref_kf = jnp.where(need & has_alt, take(obs_kf), pts.ref_kf)
+    ref_px = jnp.where((need & has_alt)[:, None], take(pts.obs_px),
+                       pts.ref_px)
+    ref_level = jnp.where(need & has_alt, take(pts.obs_level),
+                          pts.ref_level)
+    ref_f = jnp.where((need & has_alt)[:, None], take(pts.obs_f), pts.ref_f)
+    ptype = jnp.where(need & ~has_alt, st.TYPE_DELETED, pts.ptype)
+    pts = pts.replace(obs_kf=obs_kf, ptype=ptype, ref_kf=ref_kf,
+                      ref_px=ref_px, ref_level=ref_level, ref_f=ref_f)
 
     # ---- scene depth of current frame --------------------------------------
     p_w = pts.pos[feats["point"]]
@@ -212,13 +229,20 @@ def insert_keyframe(vo: st.VOState, cur_pyr, T_cw: SE3, feats, cam,
     obs_f = pts.obs_f.at[pid, o_idx].set(
         jnp.where(ok[:, None], feats["f"], pts.obs_f[pid, o_idx]),
         mode="drop")
+    obs_px = pts.obs_px.at[pid, o_idx].set(
+        jnp.where(ok[:, None], feats["px"], pts.obs_px[pid, o_idx]),
+        mode="drop")
+    obs_level = pts.obs_level.at[pid, o_idx].set(
+        jnp.where(ok, feats["level"], pts.obs_level[pid, o_idx]),
+        mode="drop")
     obs_count = pts.obs_count.at[pid].add(ok.astype(jnp.int32), mode="drop")
-    pts = pts.replace(obs_kf=obs_kf, obs_f=obs_f, obs_count=obs_count)
+    pts = pts.replace(obs_kf=obs_kf, obs_f=obs_f, obs_px=obs_px,
+                      obs_level=obs_level, obs_count=obs_count)
 
     # ---- write the keyframe -------------------------------------------------
     kfs = vo.kfs
     kfs = kfs.replace(
-        pyr=tuple(p.at[slot].set(img) for p, img in zip(kfs.pyr, cur_pyr)),
+        stack=kfs.stack.at[slot].set(cur_stack),
         q_kw=kfs.q_kw.at[slot].set(T_cw.q),
         t_kw=kfs.t_kw.at[slot].set(T_cw.t),
         valid=kfs.valid.at[slot].set(True),
@@ -291,6 +315,7 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
     def track_frame(vo: st.VOState, img: jnp.ndarray):
         dtype = img.dtype
         cur_pyr = build_pyramid(img, cfg.total_pyr_levels)
+        cur_stack = stack_from_pyramid(cur_pyr)
 
         # STEP 0: motion model = last frame pose (ref :175)
         T_cw0 = vo.last.T_fw
@@ -303,13 +328,13 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
         has_pt = last.ftr_valid & (last.ftr_point >= 0) & (
             vo.points.valid[last.ftr_point])
         T_cur_last, n_tracked, _ = sparse_img_align(
-            last.pyr, cur_pyr, cam, SE3.identity(dtype=dtype),
+            last.stack, cur_stack, cam, SE3.identity(dtype=dtype),
             last.ftr_px, last.ftr_f, depth_last, has_pt, cfg)
         T_cw = T_cur_last.compose(last.T_fw)
 
         # STEP 2: map reprojection + feature alignment (ref :203-216)
         feats, points2, n_matches = reproject_map(
-            vo, cur_pyr, T_cw, cam, cfg, dims)
+            vo, cur_stack, T_cw, cam, cfg, dims)
         vo = vo.replace(points=points2)
 
         # STEP 3: pose optimization (ref :226-233)
@@ -349,7 +374,7 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
             t=jnp.where(failure, vo.last.t_fw, T_cw_opt.t))
 
         # STEP 5: depth-filter update with this frame (mapping-thread work)
-        vo = update_seeds(vo, cur_pyr, T_final, cam, cfg)
+        vo = update_seeds(vo, cur_stack, T_final, cam, cfg)
 
         # STEP 6: keyframe decision + insertion (ref :258-312)
         xyz_cur = T_final.apply(vo.points.pos[jnp.maximum(feats["point"], 0)])
@@ -361,14 +386,14 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
 
         vo = jax.lax.cond(
             make_kf,
-            lambda v: insert_keyframe(v, cur_pyr, T_final, feats, cam, cfg,
-                                      dims),
+            lambda v: insert_keyframe(v, cur_pyr, cur_stack, T_final, feats,
+                                      cam, cfg, dims),
             lambda v: v,
             vo)
 
         # commit the new "last frame"
         last_new = st.FrameState(
-            pyr=cur_pyr, q_fw=T_final.q, t_fw=T_final.t,
+            stack=cur_stack, q_fw=T_final.q, t_fw=T_final.t,
             ftr_px=feats["px"], ftr_f=feats["f"], ftr_level=feats["level"],
             ftr_point=feats["point"], ftr_valid=feats["valid"])
         vo = vo.replace(last=last_new, frame_id=vo.frame_id + 1,

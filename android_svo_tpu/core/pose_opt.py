@@ -64,12 +64,16 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
     chi2_init = jnp.sum(enorm0 * enorm0)
 
     def body(it, carry):
-        del it
         q, t, bq, bt, bchi2 = carry
+        # scale override at iteration 5 (ref pose_optimizer.cpp:74-75:
+        # `if(iter == 5) scale = 0.85/errorMultiplier2()`) — re-seats the
+        # Tukey scale at ~1px once the pose has roughly converged
+        it_scale = jnp.where(it >= 5, jnp.asarray(0.85 / focal, dtype),
+                             scale)
         T = SE3(q=q, t=t)
         e, xyz_f, ok = residuals(T)
         enorm = jnp.linalg.norm(e, axis=-1)
-        w = robust.tukey_weight(enorm / scale) * ok.astype(dtype)
+        w = robust.tukey_weight(enorm / it_scale) * ok.astype(dtype)
         chi2 = jnp.sum(w * enorm * enorm)
         J = _geo_jacobian(xyz_f) * lvl_scale[:, None, None]  # (C,2,6)
         Jw = J * w[:, None, None]
@@ -89,6 +93,9 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
             jnp.asarray(jnp.inf, dtype))
     q, t, bq, bt, bchi2 = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body,
                                             init)
+    # post-loop evaluations use the final scale (overridden when >5 iters ran)
+    scale = jnp.where(cfg.poseoptim_n_iter > 5,
+                      jnp.asarray(0.85 / focal, dtype), scale)
     # evaluate the last iterate too (fori_loop ends after stepping)
     T_last = SE3(q=q, t=t)
     e, xyz_f, ok = residuals(T_last)

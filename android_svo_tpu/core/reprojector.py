@@ -1,13 +1,15 @@
 """Map reprojection: project landmarks into the current frame, pick one
 candidate per grid cell, and match it by direct alignment — TPU-native
 rebuild of the reference's `Reprojector` (`reprojector.cpp:72-259`) +
-`Matcher::findMatchDirect` (`matcher.cpp:156-204`).
+`Matcher::findMatchDirect` (`matcher.cpp:156-204`) +
+`Point::getCloseViewObs` (`point.cpp:101-125`).
 
 Differences from the reference, by design:
-  * The reference projects points of the <=10 closest keyframes plus the
-    candidate list (reprojector.cpp:94-146); we project the WHOLE landmark
-    arena in one batched op — with a fixed-capacity arena this is cheaper
-    than selection and covers at least the same set.
+  * The reference projects points of the <=`maxNKfs` closest keyframes plus
+    the candidate list (reprojector.cpp:94-146); we project the WHOLE
+    landmark arena in one batched op, then gate each point by whether its
+    patch-source keyframe is among the `cfg.max_n_kfs_reproject` closest —
+    the same working set, computed as one mask instead of a loop.
   * The reference's per-cell loop tries candidates in quality order until
     one match succeeds (reprojectCell, :181-241); we pick the single
     best-quality candidate per cell with a scatter-max and match all cells
@@ -15,6 +17,13 @@ Differences from the reference, by design:
     succeeds on the first try too since cells are sorted.)
   * Quality bookkeeping (n_succ/n_fail promotion and deletion thresholds,
     :200-216) is applied as one masked update over the arena.
+
+Patch-source selection follows the reference exactly: each matched point
+warps its patch from the OBSERVATION whose viewing angle is closest to the
+current one, and fails the match when even the best is beyond 60 degrees
+(`getCloseViewObs`, point.cpp:101-125 — the gate feeds the failure counter
+like any unsuccessful reprojection).  Candidates with an empty observation
+table fall back to their birth keyframe anchor (`ref_*` fields).
 """
 
 from __future__ import annotations
@@ -28,26 +37,88 @@ from android_svo_tpu.ops import interp, matcher
 from android_svo_tpu.ops.detect import cell_index
 
 
-def reproject_map(vo: st.VOState, cur_pyr, T_cw: SE3, cam,
+def closest_view_obs(pts: st.PointArena, kfs: st.KeyframeArena,
+                     cam_pos_w: jnp.ndarray, cfg: SVOConfig):
+    """Per-point closest-view observation (ref getCloseViewObs,
+    point.cpp:101-125).
+
+    Returns (src_kf, src_px, src_level, src_f, angle_ok): the patch-source
+    keyframe/feature for each point — the observation whose viewing
+    direction has the largest cosine to the current frame's — falling back
+    to the birth anchor when the obs table is empty.  `angle_ok` is False
+    when the best cosine is below `cfg.max_view_angle_cos` (cos 60°,
+    point.cpp:122), which the caller must treat as a match failure.
+    """
+    P, O = pts.obs_kf.shape
+    dtype = pts.pos.dtype
+    dir_cur = pts.pos - cam_pos_w[None, :]                   # (P,3)
+    dir_cur = dir_cur / jnp.maximum(
+        jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-9)
+
+    ks = jnp.clip(pts.obs_kf, 0, kfs.q_kw.shape[0] - 1)      # (P,O)
+    obs_cam_pos = SE3(q=kfs.q_kw[ks], t=kfs.t_kw[ks]).inverse().t  # (P,O,3)
+    dir_obs = pts.pos[:, None, :] - obs_cam_pos
+    dir_obs = dir_obs / jnp.maximum(
+        jnp.linalg.norm(dir_obs, axis=-1, keepdims=True), 1e-9)
+    cosang = jnp.einsum("poi,pi->po", dir_obs, dir_cur)      # (P,O)
+    obs_ok = (pts.obs_kf >= 0) & kfs.valid[ks]
+    cosang = jnp.where(obs_ok, cosang, -jnp.inf)
+    best = jnp.argmax(cosang, axis=-1)                       # (P,)
+    best_cos = jnp.take_along_axis(cosang, best[:, None], axis=1)[:, 0]
+    have_obs = jnp.any(obs_ok, axis=-1)
+
+    take = lambda a: jnp.take_along_axis(  # noqa: E731
+        a, best.reshape((P,) + (1,) * (a.ndim - 1)), axis=1)[:, 0]
+    src_kf = jnp.where(have_obs, take(pts.obs_kf), pts.ref_kf)
+    src_px = jnp.where(have_obs[:, None], take(pts.obs_px), pts.ref_px)
+    src_level = jnp.where(have_obs, take(pts.obs_level), pts.ref_level)
+    src_f = jnp.where(have_obs[:, None], take(pts.obs_f), pts.ref_f)
+    angle_ok = jnp.where(have_obs,
+                         best_cos > jnp.asarray(cfg.max_view_angle_cos,
+                                                dtype),
+                         True)
+    return src_kf, src_px, src_level, src_f, angle_ok
+
+
+def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
                   cfg: SVOConfig, dims):
-    """Returns (features, points') where features is the per-cell match table
-    for the current frame and points' carries updated quality counters."""
+    """Returns (features, points', n_matches) where features is the per-cell
+    match table for the current frame and points' carries updated quality
+    counters."""
     pts = vo.points
     P = pts.pos.shape[0]
     C = dims["C"]
     n_cols = dims["n_cols"]
-    dtype = pts.pos.dtype
+    h, w = cam.height, cam.width
 
     # ---- project all landmarks -------------------------------------------
     xyz_cur = T_cw.apply(pts.pos)                          # (P,3)
     in_front = xyz_cur[..., 2] > 1e-3
     z_safe = jnp.where(in_front, xyz_cur[..., 2], 1.0)
     px = cam.world2cam(xyz_cur.at[..., 2].set(z_safe))
-    h, w = cur_pyr[0].shape
     margin = cfg.patch_halfsize + 2
+    cam_pos_w = T_cw.inverse().t
+
+    # patch source = closest-view observation (ref point.cpp:101-125)
+    src_kf, src_px, src_level, src_f, angle_ok = closest_view_obs(
+        pts, vo.kfs, cam_pos_w, cfg)
+
+    # working set: points whose patch source lies in one of the
+    # `max_n_kfs_reproject` closest keyframes (ref reprojector.cpp:94:
+    # "overlap_kfs" loop bounded by options_.max_n_kfs)
+    kf_pos = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t  # (K,3)
+    kf_dist = jnp.linalg.norm(kf_pos - cam_pos_w, axis=-1)
+    kf_dist = jnp.where(vo.kfs.valid, kf_dist, jnp.inf)
+    K = kf_dist.shape[0]
+    n_close = min(cfg.max_n_kfs_reproject, K)
+    close_thresh = jnp.sort(kf_dist)[n_close - 1]
+    kf_close = vo.kfs.valid & (kf_dist <= close_thresh)
+    src_in_close = kf_close[jnp.clip(src_kf, 0, K - 1)]
+
     visible = (pts.valid & in_front
                & interp.in_bounds(px, h, w, margin)
-               & vo.kfs.valid[pts.ref_kf])                 # patch source alive
+               & vo.kfs.valid[jnp.clip(src_kf, 0, K - 1)]
+               & src_in_close)
 
     # ---- one candidate per cell (scatter-max by quality key) --------------
     cid = cell_index(px, w, cfg.grid_size, n_cols)
@@ -60,14 +131,18 @@ def reproject_map(vo: st.VOState, cur_pyr, T_cw: SE3, cam,
     cell_has = cell_best >= 0
 
     # ---- batched direct match of the C winners ----------------------------
+    w_kf = src_kf[winner]
     depth_ref = jnp.linalg.norm(
-        pts.pos[winner] - _kf_cam_pos(vo.kfs, pts.ref_kf[winner]), axis=-1)
-    T_cur_ref = _relative_pose(T_cw, vo.kfs, pts.ref_kf[winner])
+        pts.pos[winner] - _kf_cam_pos(vo.kfs, w_kf), axis=-1)
+    T_cur_ref = _relative_pose(T_cw, vo.kfs, w_kf)
     px_init = px[winner]
+    # the 60-degree gate: the cell still claims its try, but the match is
+    # forced to fail (the reference counts it via n_failed_reproj_)
+    try_ok = cell_has & angle_ok[winner]
     px_cur, search_level, success = matcher.find_match_direct(
-        cur_pyr, vo.kfs.pyr, pts.ref_kf[winner], cam,
-        pts.ref_px[winner], pts.ref_f[winner], depth_ref,
-        pts.ref_level[winner], T_cur_ref, px_init, cell_has, cfg)
+        cur_stack, vo.kfs.stack, w_kf, cam,
+        src_px[winner], src_f[winner], depth_ref,
+        src_level[winner], T_cur_ref, px_init, try_ok, cfg)
 
     # ---- quality counters (ref reprojector.cpp:200-216) --------------------
     succ_add = jnp.zeros((P,), jnp.int32).at[winner].add(

@@ -23,7 +23,7 @@ from flax import struct
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.ops.detect import grid_shape
-from android_svo_tpu.ops.pyramid import pyramid_shapes
+from android_svo_tpu.ops.pyramid import stack_shape
 
 TYPE_DELETED = 0
 TYPE_CANDIDATE = 1
@@ -35,12 +35,15 @@ TYPE_GOOD = 3
 class KeyframeArena:
     """Ring of keyframes: pyramids + poses + per-KF feature tables.
 
-    pyr: tuple over levels of (K, H_l, W_l) image stacks.
+    stack: (K, L, Hp, Wp) padded pyramid stacks (ops/pyramid.build_stack
+    layout: level l in the top-left (H>>l, W>>l) corner) — the layout the
+    Pallas patch kernels index with a dynamic level, and a single merged
+    (K*L)-plane gather serves affine warps across keyframes AND levels.
     T_kw: world->keyframe pose (the reference's T_f_w, frame.h:45).
     Features live per-(kf, cell): px at level 0, unit bearing, pyramid level,
     landmark id (-1 = none).
     """
-    pyr: tuple
+    stack: jnp.ndarray         # (K, L, Hp, Wp)
     q_kw: jnp.ndarray          # (K, 4)
     t_kw: jnp.ndarray          # (K, 3)
     valid: jnp.ndarray         # (K,)
@@ -74,9 +77,12 @@ class PointArena:
     ref_px: jnp.ndarray        # (P, 2) level-0 px in ref kf
     ref_level: jnp.ndarray     # (P,) int32
     ref_f: jnp.ndarray         # (P, 3) unit bearing in ref kf frame
-    # observation table
+    # observation table (ref Point::obs_; px/level added so the matcher can
+    # source the patch from the closest-view observation, point.cpp:101-125)
     obs_kf: jnp.ndarray        # (P, O) int32 kf slot, -1 empty
     obs_f: jnp.ndarray         # (P, O, 3) unit bearing in that kf
+    obs_px: jnp.ndarray        # (P, O, 2) level-0 px in that kf
+    obs_level: jnp.ndarray     # (P, O) int32 pyramid level of the feature
     obs_count: jnp.ndarray     # (P,) int32
 
     @property
@@ -103,8 +109,8 @@ class SeedArena:
 @struct.dataclass
 class FrameState:
     """The tracked "last frame" (ref frame_handler_mono last_frame_):
-    pyramid + pose + per-cell matched features (landmark links)."""
-    pyr: tuple                 # tuple over levels of (H_l, W_l)
+    pyramid stack + pose + per-cell matched features (landmark links)."""
+    stack: jnp.ndarray         # (L, Hp, Wp) padded pyramid stack
     q_fw: jnp.ndarray          # (4,) world->frame
     t_fw: jnp.ndarray          # (3,)
     ftr_px: jnp.ndarray        # (C, 2)
@@ -149,13 +155,11 @@ def init_state(cfg: SVOConfig, width: int, height: int,
     d = arena_dims(cfg, width, height)
     K, C, P, O, S = d["K"], d["C"], d["P"], d["O"], d["S"]
     n_levels = cfg.total_pyr_levels
-    shapes = pyramid_shapes(height, width, n_levels)
-    kf_pyr = tuple(jnp.zeros((K,) + s, dtype) for s in shapes)
-    last_pyr = tuple(jnp.zeros(s, dtype) for s in shapes)
+    sshape = stack_shape(height, width, n_levels)
     ident_q = jnp.array([1.0, 0, 0, 0], dtype)
 
     kfs = KeyframeArena(
-        pyr=kf_pyr,
+        stack=jnp.zeros((K,) + sshape, dtype),
         q_kw=jnp.tile(ident_q, (K, 1)),
         t_kw=jnp.zeros((K, 3), dtype),
         valid=jnp.zeros((K,), bool),
@@ -179,6 +183,8 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         ref_f=jnp.zeros((P, 3), dtype),
         obs_kf=jnp.full((P, O), -1, jnp.int32),
         obs_f=jnp.zeros((P, O, 3), dtype),
+        obs_px=jnp.zeros((P, O, 2), dtype),
+        obs_level=jnp.zeros((P, O), jnp.int32),
         obs_count=jnp.zeros((P,), jnp.int32),
     )
     seeds = SeedArena(
@@ -195,7 +201,7 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         valid=jnp.zeros((S,), bool),
     )
     last = FrameState(
-        pyr=last_pyr,
+        stack=jnp.zeros(sshape, dtype),
         q_fw=ident_q,
         t_fw=jnp.zeros((3,), dtype),
         ftr_px=jnp.zeros((C, 2), dtype),

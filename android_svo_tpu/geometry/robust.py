@@ -11,11 +11,11 @@ import jax.numpy as jnp
 
 # ref robust_cost.cpp:67 — 1.48 * MAD is a consistent sigma estimator
 MAD_NORMALIZER = 1.48
-# ref robust_cost.cpp:87 — 95% efficiency Tukey constant
-TUKEY_B = 4.6851
-# NOTE: the reference writes 4.6851 at robust_cost.cpp:87 (the standard Tukey
-# 95%-efficiency constant); SURVEY.md's "8.6851" reading is a transcription of
-# the same constant — we use the standard value.
+# ref robust_cost.cpp:87: TukeyWeightFunction::DEFAULT_B = 8.6851f.  The
+# textbook 95%-efficiency constant is 4.6851; the reference deliberately (or
+# not) uses twice that, making its outlier rejection ~2x more permissive —
+# we match the reference's behavior, not the textbook.
+TUKEY_B = 8.6851
 HUBER_K = 1.345
 TDIST_DOF = 5.0
 

@@ -159,6 +159,12 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
     valid = score > cfg.triang_min_corner_score
     if occupied_cells is not None:
         valid = valid & ~occupied_cells
+    if n_cells > cfg.max_fts:
+        # feature budget (ref config.cpp:82 max_fts): keep only the
+        # best-scoring max_fts cells when the grid offers more
+        kth = jnp.sort(jnp.where(valid, score, -jnp.inf))[
+            n_cells - cfg.max_fts]
+        valid = valid & (score >= kth)
     return {"px": xy, "level": lvl, "score": score, "valid": valid}
 
 

@@ -4,10 +4,15 @@ search-level selection, direct subpixel matching (`findMatchDirect`), and the
 epipolar-line ZMSSD search for depth-filter seeds
 (`findEpipolarMatchDirect`).
 
-Everything is batched over N features/seeds; keyframe images come in as a
-stacked arena `(K, H_l, W_l)` per pyramid level with a per-feature keyframe
-index, so one gather serves all features regardless of which keyframe each
-references.
+Everything is batched over N features/seeds.  Images are padded pyramid
+stacks (ops/pyramid.build_stack): the current frame as one `(L, Hp, Wp)`
+array, keyframes as a `(K, L, Hp, Wp)` arena.  Patch reads on the hot
+per-iteration paths go through the Pallas window kernels
+(`ops/patch_pallas`): `epi_scan` for the ZMSSD sweep and `align_iclk` for
+subpixel refinement — the replacements for the reference's SSE2 ZMSSD
+(`patch_score.h:87-196`) and SSE2/NEON `align2D`
+(`feature_alignment.cpp:286/453`).  The once-per-frame affine warp reads
+the keyframe arena through one merged (K*L)-plane gather.
 """
 
 from __future__ import annotations
@@ -20,7 +25,8 @@ from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.geometry.camera import project2d, unproject2d
 from android_svo_tpu.geometry.triangulation import depth_from_triangulation
 from android_svo_tpu.ops import interp
-from android_svo_tpu.ops.feature_align import align2d, patch_gradients
+from android_svo_tpu.ops import patch_pallas as pp
+from android_svo_tpu.ops.feature_align import patch_gradients
 
 
 # ---------------------------------------------------------------------------
@@ -68,43 +74,50 @@ def get_best_search_level(A_cur_ref: jnp.ndarray,
     return jnp.minimum(level, max_level)
 
 
-def warp_affine_stack(imgs_by_level, kf_idx: jnp.ndarray,
+def warp_affine_stack(kf_stack: jnp.ndarray, kf_idx: jnp.ndarray,
                       A_cur_ref: jnp.ndarray, px_ref: jnp.ndarray,
                       level_ref: jnp.ndarray, search_level: jnp.ndarray,
-                      halfpatch_border: int, n_ref_levels: int):
+                      halfpatch_border: int, h: int, w: int):
     """Warp reference patches (with border) out of the keyframe arena.
 
     For each patch pixel (in search-level units, centered), the ref-image
     coordinate is px_ref/2^level_ref + A_ref_cur @ (px_patch * 2^search_level
     / 2^level_ref) (ref warpAffine, matcher.cpp:83-121).
 
-    imgs_by_level: tuple over pyramid levels of (K, H_l, W_l) arrays.
+    kf_stack: (K, L, Hp, Wp) padded keyframe pyramid arena.  The gather
+    merges the (kf, level) axes so one `bilinear_sample_stack` serves all
+    features regardless of which keyframe/level each references; coords are
+    clamped to the TRUE level dims (h>>l, w>>l) so the zero padding never
+    bleeds in (the reference clamps to the image border the same way).
     Returns (N, P, P) patches with P = 2*halfpatch_border, plus a validity
-    mask (A invertible; bounds are handled by clamped sampling).
+    mask (A invertible).
     """
     n = px_ref.shape[0]
     p = 2 * halfpatch_border
     dtype = px_ref.dtype
+    K, L, Hp, Wp = kf_stack.shape
     det = jnp.linalg.det(A_cur_ref)
     ok = jnp.abs(det) > 1e-8
     A_safe = jnp.where(ok[:, None, None], A_cur_ref,
                        jnp.eye(2, dtype=dtype))
     A_ref_cur = jnp.linalg.inv(A_safe)                      # (N,2,2)
 
+    lvl = jnp.clip(level_ref.astype(jnp.int32), 0, L - 1)
     offs = interp.patch_offsets(halfpatch_border, dtype)    # (P*P, 2)
     scale_s = (2.0 ** search_level.astype(dtype))[:, None, None]
     # patch offsets in level-0 ref pixels:
     d_ref0 = jnp.einsum("nij,aj->nai", A_ref_cur, offs) * scale_s
-    patch = jnp.zeros((n, p * p), dtype)
-    # gather from the feature's own pyramid level (data-dependent level ->
-    # masked accumulation over the static level range)
-    for lr in range(n_ref_levels):
-        sel = level_ref == lr
-        imgs = imgs_by_level[lr]
-        coords = (px_ref[:, None, :] + d_ref0) / (2.0 ** lr)
-        vals = interp.bilinear_sample_stack(imgs, kf_idx, coords)
-        patch = jnp.where(sel[:, None], vals, patch)
-    return patch.reshape(n, p, p), ok
+    scale_r = (2.0 ** lvl.astype(dtype))[:, None, None]
+    coords = (px_ref[:, None, :] + d_ref0) / scale_r        # (N, A, 2)
+    wl = (w >> lvl).astype(dtype)[:, None]
+    hl = (h >> lvl).astype(dtype)[:, None]
+    coords = jnp.stack([
+        jnp.clip(coords[..., 0], 0.0, wl - 1.001),
+        jnp.clip(coords[..., 1], 0.0, hl - 1.001)], axis=-1)
+    merged = kf_stack.reshape(K * L, Hp, Wp)
+    idx = jnp.clip(kf_idx.astype(jnp.int32), 0, K - 1) * L + lvl
+    vals = interp.bilinear_sample_stack(merged, idx, coords)
+    return vals.reshape(n, p, p), ok
 
 
 # ---------------------------------------------------------------------------
@@ -121,52 +134,104 @@ def zmssd(ref_patch: jnp.ndarray, cur_patches: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 1D alignment along a direction on the stack (ref align1D,
+# feature_alignment.cpp:35-133 — the edgelet / short-epipolar path)
+# ---------------------------------------------------------------------------
+
+def align1d_stack(stack, lvl, ref_patch, ref_dx, ref_dy, direction,
+                  init_uv, valid, n_iter: int, h: int, w: int,
+                  use_pallas=None):
+    """Batched 1D ICLK along per-feature unit `direction` with
+    mean-brightness term.  Off the hot path (cfg.epi_search_1d, default
+    off), so patch reads go through `sample_patches` per iteration instead
+    of a dedicated fused kernel."""
+    n, p, _ = ref_patch.shape
+    area = p * p
+    half = p // 2
+    dtype = init_uv.dtype
+    T = ref_patch.reshape(n, area)
+    gdir = (direction[:, 0:1] * ref_dx.reshape(n, area)
+            + direction[:, 1:2] * ref_dy.reshape(n, area))
+    ones = jnp.ones_like(gdir)
+    J = jnp.stack([gdir, ones], axis=-1)                    # (N, A, 2)
+    H = jnp.einsum("nai,naj->nij", J, J) + 1e-6 * jnp.eye(2, dtype=dtype)
+    Hinv = jnp.linalg.inv(H)
+    lvl = jnp.clip(lvl.astype(jnp.int32), 0, stack.shape[0] - 1)
+    wl = (w >> lvl).astype(dtype)
+    hl = (h >> lvl).astype(dtype)
+    m = half + 1.0
+
+    def inb(uv):
+        return ((uv[..., 0] >= m) & (uv[..., 0] < wl - 1 - m)
+                & (uv[..., 1] >= m) & (uv[..., 1] < hl - 1 - m))
+
+    def body(it, carry):
+        del it
+        uv, mean = carry
+        ok = valid & inb(uv)
+        cur = pp.sample_patches(stack, lvl, uv, half,
+                                use_pallas=use_pallas).reshape(n, area)
+        r = cur - T + mean[:, None]
+        g = jnp.einsum("nai,na->ni", J, r)
+        upd = jnp.einsum("nij,nj->ni", Hinv, g)
+        uv_new = uv - upd[:, 0:1] * direction
+        mean_new = mean - upd[:, 1]
+        uv = jnp.where(ok[:, None], uv_new, uv)
+        mean = jnp.where(ok, mean_new, mean)
+        return uv, mean
+
+    uv, mean = jax.lax.fori_loop(0, n_iter, body,
+                                 (init_uv, jnp.zeros((n,), dtype)))
+    ok = valid & inb(uv)
+    drift = jnp.linalg.norm(uv - init_uv, axis=-1)
+    converged = ok & (drift < p)
+    return uv, converged, mean
+
+
+# ---------------------------------------------------------------------------
 # direct match (ref findMatchDirect, matcher.cpp:156-204)
 # ---------------------------------------------------------------------------
 
-def find_match_direct(cur_pyr, ref_imgs_by_level, kf_idx, cam,
+def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
                       px_ref, f_ref, depth_ref, level_ref,
                       T_cur_ref: SE3, px_cur_init, valid,
                       cfg: SVOConfig):
     """Subpixel match of map points into the current frame.
 
     Warps each point's reference patch to the current view, picks the best
-    search level from the affine warp, and runs batched 2D ICLK around the
-    projected position.  Returns (px_cur level-0, search_level, success).
+    search level from the affine warp, and runs batched fused ICLK around
+    the projected position.  Returns (px_cur level-0, search_level,
+    success).
     """
     halfpatch = cfg.patch_halfsize
+    use_pallas = pp.cfg_use_pallas(cfg)
+    h, w = cam.height, cam.width
     A = get_warp_matrix_affine(cam, px_ref, f_ref, depth_ref, T_cur_ref,
                                level_ref, halfpatch)
-    n_levels = min(len(cur_pyr), cfg.max_search_level + 1)
+    n_levels = min(cur_stack.shape[0], cfg.max_search_level + 1)
     search_level = get_best_search_level(A, n_levels - 1)
     patch_b, ok_warp = warp_affine_stack(
-        ref_imgs_by_level, kf_idx, A, px_ref, level_ref, search_level,
-        halfpatch + 1, len(ref_imgs_by_level))
+        kf_stack, kf_idx, A, px_ref, level_ref, search_level,
+        halfpatch + 1, h, w)
     ref_patch, gx, gy = patch_gradients(patch_b)
 
     scale_s = 2.0 ** search_level.astype(px_ref.dtype)
     uv_init = px_cur_init / scale_s[:, None]
     valid = valid & ok_warp
 
-    # batched align at each static search level, merged by mask
-    uv_out = uv_init
-    conv_out = jnp.zeros(valid.shape, bool)
-    for ls in range(n_levels):
-        sel = (search_level == ls) & valid
-        uv_l, conv_l, _ = align2d(cur_pyr[ls], ref_patch, gx, gy,
-                                  uv_init, sel, cfg.align_max_iter)
-        uv_out = jnp.where(sel[:, None], uv_l, uv_out)
-        conv_out = jnp.where(sel, conv_l, conv_out)
+    uv_out, conv, _ = pp.align_iclk(
+        cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+        cfg.align_max_iter, h, w, use_pallas=use_pallas)
 
     px_cur = uv_out * scale_s[:, None]
-    return px_cur, search_level, conv_out & valid
+    return px_cur, search_level, conv & valid
 
 
 # ---------------------------------------------------------------------------
 # epipolar match (ref findEpipolarMatchDirect, matcher.cpp:207-352)
 # ---------------------------------------------------------------------------
 
-def find_epipolar_match(cur_pyr, ref_imgs_by_level, kf_idx, cam,
+def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
                         px_ref, f_ref, level_ref, T_cur_ref: SE3,
                         d_estimate, d_min, d_max, valid,
                         cfg: SVOConfig):
@@ -174,10 +239,11 @@ def find_epipolar_match(cur_pyr, ref_imgs_by_level, kf_idx, cam,
     match of each seed's reference patch, refine to subpixel, and
     triangulate depth.
 
-    All seeds share a fixed number of scan steps (`cfg.max_epi_search_steps`)
-    with masking — the TPU-shape equivalent of the reference's dynamic
-    `n_steps = epi_length/0.7` loop (matcher.cpp:280-324, which also aborts
-    if n_steps > 1000).
+    Per-seed step counts follow the reference (`n_steps = epi_length/0.7`,
+    matcher.cpp:288): the fused Pallas scan runs exactly that many
+    iterations per seed (dynamic trip count), and — like the reference's
+    abort at `n_steps > max_epi_search_steps` (matcher.cpp:291-296) — seeds
+    whose segment exceeds the cap are rejected outright.
 
     Returns (depth, px_cur, success).
     """
@@ -185,7 +251,9 @@ def find_epipolar_match(cur_pyr, ref_imgs_by_level, kf_idx, cam,
     area = (2 * halfpatch) ** 2
     n = px_ref.shape[0]
     dtype = px_ref.dtype
-    n_levels = min(len(cur_pyr), cfg.max_search_level + 1)
+    use_pallas = pp.cfg_use_pallas(cfg)
+    h, w = cam.height, cam.width
+    n_levels = min(cur_stack.shape[0], cfg.max_search_level + 1)
 
     # endpoints of the epipolar segment on the cur unit plane
     uv_A = project2d(T_cur_ref.apply(f_ref * d_min[..., None]))
@@ -198,67 +266,53 @@ def find_epipolar_match(cur_pyr, ref_imgs_by_level, kf_idx, cam,
                                     T_cur_ref, level_ref, halfpatch)
     search_level = get_best_search_level(A_warp, n_levels - 1)
     patch_b, ok_warp = warp_affine_stack(
-        ref_imgs_by_level, kf_idx, A_warp, px_ref, level_ref, search_level,
-        halfpatch + 1, len(ref_imgs_by_level))
+        kf_stack, kf_idx, A_warp, px_ref, level_ref, search_level,
+        halfpatch + 1, h, w)
     ref_patch, gx, gy = patch_gradients(patch_b)
-    ref_flat = ref_patch.reshape(n, area)
 
-    # pixel-space segment (level 0)
+    # pixel-space segment, in search-level units
     px_A = cam.world2cam_uv(uv_A)
     px_B = cam.world2cam_uv(uv_B)
     scale_s = 2.0 ** search_level.astype(dtype)
     epi_len = jnp.linalg.norm(px_A - px_B, axis=-1) / scale_s
 
-    # K candidate unit-plane positions uniformly on the segment
-    K = cfg.max_epi_search_steps
-    ts = jnp.linspace(0.0, 1.0, K, dtype=dtype)             # (K,)
-    uv_cand = (uv_A[:, None, :] * (1 - ts[None, :, None])
-               + uv_B[:, None, :] * ts[None, :, None])      # (N,K,2)
-    px_cand0 = cam.world2cam_uv(uv_cand)                    # level-0 px
-    # limit to ~0.7px spacing: steps beyond the needed count collapse
-    # to the segment (they just oversample; masking not required for
-    # correctness, only acceptance quality)
+    # one step per ~0.7 px (ref matcher.cpp:288); reject over-long segments
+    # (ref matcher.cpp:291-296)
+    Kmax = cfg.max_epi_search_steps
+    n_steps = (epi_len / 0.7).astype(jnp.int32) + 1
+    too_long = n_steps > Kmax
 
-    # score candidates per seed at its search level (masked static levels)
-    score = jnp.full((n, K), jnp.inf, dtype)
-    for ls in range(n_levels):
-        sel = search_level == ls
-        h, w = cur_pyr[ls].shape
-        px_l = px_cand0 / (2.0 ** ls)
-        inb = interp.in_bounds(px_l, h, w, halfpatch + 2)
-        offs = interp.patch_offsets(halfpatch, dtype)        # (A,2)
-        coords = px_l[:, :, None, :] + offs[None, None, :, :]
-        cand = interp.bilinear_sample(cur_pyr[ls], coords)   # (N,K,A)
-        s = zmssd(ref_flat, cand)
-        s = jnp.where(inb, s, jnp.inf)
-        score = jnp.where(sel[:, None], s, score)
+    uv_a_l = px_A / scale_s[:, None]    # search-level coords of both ends
+    uv_b_l = px_B / scale_s[:, None]
+    t_best, score_best = pp.epi_scan(
+        cur_stack, search_level, uv_a_l, uv_b_l, ref_patch,
+        n_steps_max=Kmax, half=halfpatch, n_steps_each=n_steps,
+        h=h, w=w, use_pallas=use_pallas)
+    px_best0 = (px_A + (px_B - px_A) * t_best[:, None])
 
-    best = jnp.argmin(score, axis=-1)                        # (N,)
-    best_score = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
     # acceptance threshold (ref patch_score.h:46: 2000 * area)
     thresh = cfg.zmssd_threshold_factor * area
-    px_best0 = jnp.take_along_axis(
-        px_cand0, best[:, None, None].repeat(2, -1), axis=1)[:, 0, :]
 
-    # short-segment case: skip the scan, align directly from the estimate
-    # (ref matcher.cpp:257-276: epi_length < 2.0)
-    uv_est = project2d(T_cur_ref.apply(f_ref * d_estimate[..., None]))
-    px_est0 = cam.world2cam_uv(uv_est)
+    # short-segment case: skip the scan, align directly from the segment
+    # midpoint (ref matcher.cpp:257-276: epi_length < 2.0)
     short = epi_len < 2.0
-    px_start0 = jnp.where(short[:, None], px_est0, px_best0)
-    score_ok = short | (best_score < thresh)
+    px_start0 = jnp.where(short[:, None], 0.5 * (px_A + px_B), px_best0)
+    score_ok = short | (score_best < thresh)
 
     # subpixel refinement at the search level
-    valid_all = valid & ok_warp & score_ok
-    uv_out = px_start0 / scale_s[:, None]
-    conv_out = jnp.zeros((n,), bool)
-    for ls in range(n_levels):
-        sel = (search_level == ls) & valid_all
-        uv_l, conv_l, _ = align2d(cur_pyr[ls], ref_patch, gx, gy,
-                                  px_start0 / (2.0 ** ls), sel,
-                                  cfg.subpix_n_iter)
-        uv_out = jnp.where(sel[:, None], uv_l, uv_out)
-        conv_out = jnp.where(sel, conv_l, conv_out)
+    valid_all = valid & ok_warp & score_ok & ~too_long
+    uv_start = px_start0 / scale_s[:, None]
+    if cfg.epi_search_1d:
+        epi_dir = px_A - px_B
+        epi_dir = epi_dir / jnp.maximum(
+            jnp.linalg.norm(epi_dir, axis=-1, keepdims=True), 1e-8)
+        uv_out, conv_out, _ = align1d_stack(
+            cur_stack, search_level, ref_patch, gx, gy, epi_dir, uv_start,
+            valid_all, cfg.subpix_n_iter, h, w, use_pallas=use_pallas)
+    else:
+        uv_out, conv_out, _ = pp.align_iclk(
+            cur_stack, search_level, ref_patch, gx, gy, uv_start, valid_all,
+            cfg.subpix_n_iter, h, w, use_pallas=use_pallas)
     px_cur = uv_out * scale_s[:, None]
 
     # triangulate depth along the ref bearing (ref matcher.cpp:344-351)

@@ -1,22 +1,32 @@
-"""Pallas TPU kernels for scattered bilinear patch sampling — the
+"""Pallas TPU kernels for scattered bilinear patch work — the
 speed-of-light replacement for the reference's SIMD patch kernels
 (`feature_alignment.cpp:286/453`, `patch_score.h:87-196`) and for every
 pointer-chasing patch read in `sparse_img_align.cpp`/`matcher.cpp`.
 
 Why: XLA lowers scattered gathers on TPU to ~0.07 G loads/s (measured,
 scripts/microbench_gather.py) — 3 orders of magnitude off the VPU.  These
-kernels instead do per-feature *aligned* `(16, 256)` window loads from a
+kernels instead do per-feature *aligned* `(24, 256)` window loads from a
 VMEM-resident padded pyramid stack, rotate the window into place with two
-dynamic `pltpu.roll`s, and finish the bilinear/ZMSSD math on registers:
-measured ~12 ns per 8x8 patch (~86 M patches/s, scripts/
-probe_pallas_variants.py) — ~300x over the XLA gather path.
+dynamic `pltpu.roll`s, and finish the bilinear/ZMSSD/ICLK math on
+registers: measured ~12 ns per 8x8 patch (~86 M patches/s,
+scripts/probe_pallas_variants.py) — ~300x over the XLA gather path.
+
+Kernels:
+  * `sample_patches` — batched bilinear patch (+gradient) extraction at
+    per-feature pyramid level (the substrate for sparse-align residuals).
+  * `epi_scan` — fused epipolar ZMSSD scan with per-seed dynamic step
+    counts (ref `matcher.cpp:280-324` + `patch_score.h:40-220`).
+  * `align_iclk` — fused inverse-compositional LK: the full n_iter
+    alignment loop runs on-chip per feature, stack loaded into VMEM once
+    (ref `feature_alignment.cpp:154-282 align2D` and its SSE2/NEON twins).
 
 Layout contract (see ops/pyramid.build_stack): the pyramid is one
-`(L, H, W)` array, level `l` in the top-left `(H>>l, W>>l)` corner, zero
-padding elsewhere; `H >= 16`, `W >= 256`, both multiples of the (8, 128)
-tile.  All `uv` coordinates are in *level* pixel units.  Out-of-level or
-out-of-image samples return garbage-but-finite values — callers mask
-validity exactly like the reference bounds-checks before touching pixels.
+`(L, Hp, Wp)` array, level `l` in the top-left `(h>>l, w>>l)` corner of a
+zero-padded plane; `Hp >= 32` mult of 8, `Wp >= 256` mult of 128.  All `uv`
+coordinates are in *level* pixel units.  Out-of-level or out-of-image
+samples return garbage-but-finite values — callers mask validity against
+the TRUE level dims exactly like the reference bounds-checks before
+touching pixels.
 
 Every public function has a pure-JAX fallback (`use_pallas=False`) with
 identical semantics away from image borders — that fallback is the spec,
@@ -48,6 +58,12 @@ def _auto_backend(use_pallas) -> bool:
     return bool(use_pallas)
 
 
+def cfg_use_pallas(cfg) -> bool | None:
+    """Map the config knob to the dispatch argument: True-by-config means
+    'auto' (Pallas on TPU, fallback elsewhere); False forces the spec path."""
+    return None if cfg.use_pallas else False
+
+
 def _pad_rows(x: jnp.ndarray, n: int):
     if x.shape[0] == n:
         return x
@@ -61,12 +77,19 @@ def _pad_rows(x: jnp.ndarray, n: int):
 
 def _load_window(stack_ref, l, yi, xi, h, w):
     """Aligned (WIN_R, WIN_C) window whose top-left maps to (yi, xi) after
-    the two rolls.  Requires 0 <= yi <= h-12, 0 <= xi <= w-12."""
+    the two rolls.  Requires 0 <= yi <= h-12, 0 <= xi <= w-12.
+
+    NOTE: the roll shifts are expressed as POSITIVE amounts mod the window
+    size.  Mosaic's dynamic `pltpu.roll` with a *negative* shift on the
+    sublane (row) axis is off by one sublane tile (8 rows) on real TPU
+    hardware (verified v5e; the interpreter is correct either way) — the
+    positive-mod form compiles correctly on both.
+    """
     ya = pl.multiple_of(jnp.minimum((yi // 8) * 8, h - WIN_R), 8)
     xa = pl.multiple_of(jnp.minimum((xi // 128) * 128, w - WIN_C), 128)
     win = stack_ref[l, pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
-    win = pltpu.roll(win, -(yi - ya), 0)
-    win = pltpu.roll(win, -(xi - xa), 1)
+    win = pltpu.roll(win, (WIN_R - (yi - ya)) % WIN_R, 0)
+    win = pltpu.roll(win, (WIN_C - (xi - xa)) % WIN_C, 1)
     return win
 
 
@@ -172,7 +195,7 @@ def sample_patches(stack, lvl, uv, half: int, grad: bool = False,
     """Bilinear (2*half)^2 patches (optionally with central-difference
     gradients) at per-feature pyramid level `lvl` and level-coords `uv`.
 
-    stack: (L, H, W) padded pyramid (ops/pyramid.build_stack).
+    stack: (L, Hp, Wp) padded pyramid (ops/pyramid.build_stack).
     Returns (N, P, P) or a (patch, dx, dy) triple when grad=True.
     """
     if interpret:
@@ -187,26 +210,27 @@ def sample_patches(stack, lvl, uv, half: int, grad: bool = False,
 # fused epipolar ZMSSD scan (ref matcher.cpp:280-324 + patch_score.h:40-220)
 # ---------------------------------------------------------------------------
 
-def _make_scan_kernel(n_steps: int, half: int):
+def _make_scan_kernel(n_steps_max: int, half: int, h_true: int, w_true: int):
     p = 2 * half
 
-    def kernel(lvl_ref, ab_ref, stack_ref, ref_ref, out_ref):
+    def kernel(lvl_ref, ab_ref, ns_ref, stack_ref, ref_ref, out_ref):
         _, h, w = stack_ref.shape
 
         def one(i, _):
             l = jnp.clip(lvl_ref[i, 0], 0, stack_ref.shape[0] - 1)
-            wl = (w >> l).astype(jnp.float32)
-            hl = (h >> l).astype(jnp.float32)
+            wl = (w_true >> l).astype(jnp.float32)
+            hl = (h_true >> l).astype(jnp.float32)
             ax = ab_ref[i, 0]
             ay = ab_ref[i, 1]
             bx = ab_ref[i, 2]
             by = ab_ref[i, 3]
+            k = jnp.clip(ns_ref[i, 0], 2, n_steps_max)
             rp = ref_ref[i]                                  # (p, p) zero-mean
-            inv_steps = 1.0 / (n_steps - 1)
+            inv_steps = 1.0 / jnp.maximum(k - 1, 1).astype(jnp.float32)
 
-            def step(k, carry):
+            def step(j, carry):
                 best_t, best_s = carry
-                t = k.astype(jnp.float32) * inv_steps
+                t = j.astype(jnp.float32) * inv_steps
                 x = ax + t * (bx - ax)
                 y = ay + t * (by - ay)
                 x0f = jnp.floor(x)
@@ -229,7 +253,7 @@ def _make_scan_kernel(n_steps: int, half: int):
                         jnp.where(better, score, best_s))
 
             best_t, best_s = jax.lax.fori_loop(
-                0, n_steps, step, (jnp.float32(0.0), jnp.float32(jnp.inf)))
+                0, k, step, (jnp.float32(0.0), jnp.float32(jnp.inf)))
             out_ref[i, 0] = best_t
             out_ref[i, 1] = best_s
             return 0
@@ -239,24 +263,27 @@ def _make_scan_kernel(n_steps: int, half: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "half"))
-def _scan_pallas(stack, lvl, uv_a, uv_b, ref_patch_zm, n_steps: int,
-                 half: int):
+@functools.partial(jax.jit,
+                   static_argnames=("n_steps_max", "half", "h", "w"))
+def _scan_pallas(stack, lvl, uv_a, uv_b, n_steps_each, ref_patch_zm,
+                 n_steps_max: int, half: int, h: int, w: int):
     n = lvl.shape[0]
     npad = ((n + BLK - 1) // BLK) * BLK
     p = 2 * half
-    L, h, w = stack.shape
+    L, hp, wp = stack.shape
     ab = jnp.concatenate([uv_a, uv_b], axis=-1)
     ab = jnp.nan_to_num(ab, nan=0.0, posinf=0.0, neginf=0.0)
     out = pl.pallas_call(
-        _make_scan_kernel(n_steps, half),
+        _make_scan_kernel(n_steps_max, half, h, w),
         grid=(npad // BLK,),
         in_specs=[
             pl.BlockSpec((BLK, 1), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BLK, 4), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, h, w), lambda i: (0, 0, 0),
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, hp, wp), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLK, p, p), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -265,56 +292,288 @@ def _scan_pallas(stack, lvl, uv_a, uv_b, ref_patch_zm, n_steps: int,
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((npad, 2), jnp.float32),
     )(_pad_rows(lvl.astype(jnp.int32), npad)[:, None],
-      _pad_rows(ab, npad), stack, _pad_rows(ref_patch_zm, npad))
+      _pad_rows(ab, npad),
+      _pad_rows(jnp.full_like(lvl, 2, jnp.int32)
+                if n_steps_each is None
+                else n_steps_each.astype(jnp.int32), npad)[:, None],
+      stack, _pad_rows(ref_patch_zm, npad))
     return out[:n, 0], out[:n, 1]
 
 
-def _scan_fallback(stack, lvl, uv_a, uv_b, ref_patch_zm, n_steps: int,
-                   half: int):
+def _scan_fallback(stack, lvl, uv_a, uv_b, n_steps_each, ref_patch_zm,
+                   n_steps_max: int, half: int, h: int, w: int):
     p = 2 * half
     n = lvl.shape[0]
     dtype = uv_a.dtype
-    ts = jnp.linspace(0.0, 1.0, n_steps, dtype=dtype)
-    uvk = (uv_a[:, None, :] * (1 - ts[None, :, None])
-           + uv_b[:, None, :] * ts[None, :, None])           # (N, K, 2)
+    k = jnp.clip(n_steps_each.astype(jnp.int32), 2, n_steps_max)  # (N,)
+    js = jnp.arange(n_steps_max, dtype=dtype)                # (K,)
+    ts = js[None, :] / jnp.maximum(k - 1, 1)[:, None].astype(dtype)
+    live = js[None, :] < k[:, None].astype(dtype)            # (N, K)
+    ts = jnp.minimum(ts, 1.0)
+    uvk = (uv_a[:, None, :] * (1 - ts[..., None])
+           + uv_b[:, None, :] * ts[..., None])               # (N, K, 2)
     offs = interp.patch_offsets(half, dtype)
     coords = uvk[:, :, None, :] + offs[None, None, :, :]     # (N, K, A, 2)
     lvl = lvl.astype(jnp.int32)
     cur = interp.bilinear_sample_stack(
-        stack, lvl[:, None].repeat(n_steps, 1).reshape(-1),
-        coords.reshape(n * n_steps, -1, 2)).reshape(n, n_steps, p * p)
+        stack, lvl[:, None].repeat(n_steps_max, 1).reshape(-1),
+        coords.reshape(n * n_steps_max, -1, 2)).reshape(n, n_steps_max,
+                                                        p * p)
     cur = cur - cur.mean(axis=-1, keepdims=True)
     d = cur - ref_patch_zm.reshape(n, 1, p * p)
     score = jnp.sum(d * d, axis=-1)                          # (N, K)
-    h, w = stack.shape[-2], stack.shape[-1]
     wl = (w >> lvl).astype(dtype)[:, None]
     hl = (h >> lvl).astype(dtype)[:, None]
     m = half + 2.0
     inb = ((uvk[..., 0] >= m) & (uvk[..., 0] < wl - 1 - m)
            & (uvk[..., 1] >= m) & (uvk[..., 1] < hl - 1 - m))
-    score = jnp.where(inb, score, jnp.inf)
+    score = jnp.where(inb & live, score, jnp.inf)
     best = jnp.argmin(score, axis=-1)
-    best_t = ts[best]
+    best_t = jnp.take_along_axis(ts, best[:, None], axis=1)[:, 0]
     best_s = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0]
     return best_t, best_s
 
 
-def epi_scan(stack, lvl, uv_a, uv_b, ref_patch, n_steps: int, half: int = 4,
-             use_pallas=None, interpret: bool = False):
+def epi_scan(stack, lvl, uv_a, uv_b, ref_patch, n_steps_max: int,
+             half: int = 4, n_steps_each=None, h: int | None = None,
+             w: int | None = None, use_pallas=None,
+             interpret: bool = False):
     """Best ZMSSD match along each seed's epipolar segment.
 
-    Scans `n_steps` uniform positions between level-coords `uv_a` and
-    `uv_b` at per-seed level `lvl`, scoring the (2*half)^2 `ref_patch`
-    (zero-meaned internally).  Returns (t_best in [0,1], score); positions
-    outside the level (margin half+2) score +inf, so a fully-out segment
-    returns score=inf (caller rejects, ref matcher.cpp:280-324 clips to the
-    image instead).
+    Scans up to `n_steps_each[i]` (clipped to [2, n_steps_max]) uniform
+    positions from level-coords `uv_a` toward `uv_b` at ~per-seed spacing
+    |AB|/(n_i-1), scoring the (2*half)^2 `ref_patch` (zero-meaned
+    internally).  This is the TPU shape of the reference's dynamic
+    `n_steps = epi_length/0.7` loop (matcher.cpp:280-324) — short segments
+    cost few iterations instead of the full cap.  Returns
+    (t_best in [0,1], score); positions outside the TRUE level dims
+    (h>>l, w>>l) with margin half+2 score +inf.
+
+    h/w: true level-0 image dims (the stack itself is padded).
     """
+    L, hp, wp = stack.shape
+    h = hp if h is None else h
+    w = wp if w is None else w
+    if n_steps_each is None:
+        n_steps_each = jnp.full(lvl.shape, n_steps_max, jnp.int32)
     rp = ref_patch.reshape(ref_patch.shape[0], -1)
     rp = (rp - rp.mean(axis=-1, keepdims=True)).reshape(ref_patch.shape)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            return _scan_pallas(stack, lvl, uv_a, uv_b, rp, n_steps, half)
+            return _scan_pallas(stack, lvl, uv_a, uv_b, n_steps_each, rp,
+                                n_steps_max, half, h, w)
     if _auto_backend(use_pallas):
-        return _scan_pallas(stack, lvl, uv_a, uv_b, rp, n_steps, half)
-    return _scan_fallback(stack, lvl, uv_a, uv_b, rp, n_steps, half)
+        return _scan_pallas(stack, lvl, uv_a, uv_b, n_steps_each, rp,
+                            n_steps_max, half, h, w)
+    return _scan_fallback(stack, lvl, uv_a, uv_b, n_steps_each, rp,
+                          n_steps_max, half, h, w)
+
+
+# ---------------------------------------------------------------------------
+# fused inverse-compositional LK alignment
+# (ref feature_alignment.cpp:154-282 align2D + SSE2/NEON variants :286-576)
+# ---------------------------------------------------------------------------
+
+def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
+    p = 2 * half
+
+    def kernel(lvl_ref, uv_ref, valid_ref, hinv_ref, T_ref, gx_ref, gy_ref,
+               stack_ref, out_ref):
+
+        def one(i, _):
+            _, hs, ws = stack_ref.shape
+            l = jnp.clip(lvl_ref[i, 0], 0, stack_ref.shape[0] - 1)
+            wl = (w_true >> l).astype(jnp.float32)
+            hl = (h_true >> l).astype(jnp.float32)
+            ok0 = valid_ref[i, 0] > 0
+            T = T_ref[i]
+            gx = gx_ref[i]
+            gy = gy_ref[i]
+            m = jnp.float32(half + 1)
+
+            def inb(u, v):
+                return ((u >= m) & (u < wl - 1 - m)
+                        & (v >= m) & (v < hl - 1 - m))
+
+            def sample(u, v):
+                x0f = jnp.floor(u)
+                y0f = jnp.floor(v)
+                wx = u - x0f
+                wy = v - y0f
+                xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, ws - 12)
+                yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, hs - 12)
+                win = _load_window(stack_ref, l, yi, xi, hs, ws)
+                return _bilinear_crop(win, wx, wy, p)
+
+            def solve(r):
+                g0 = jnp.sum(gx * r)
+                g1 = jnp.sum(gy * r)
+                g2 = jnp.sum(r)
+                u0 = (hinv_ref[i, 0] * g0 + hinv_ref[i, 1] * g1
+                      + hinv_ref[i, 2] * g2)
+                u1 = (hinv_ref[i, 3] * g0 + hinv_ref[i, 4] * g1
+                      + hinv_ref[i, 5] * g2)
+                u2 = (hinv_ref[i, 6] * g0 + hinv_ref[i, 7] * g1
+                      + hinv_ref[i, 8] * g2)
+                return u0, u1, u2
+
+            def body(it, carry):
+                del it
+                u, v, mean = carry
+                ok = ok0 & inb(u, v)
+                cur = sample(u, v)
+                r = cur - T + mean
+                u0, u1, u2 = solve(r)
+                u = jnp.where(ok, u - u0, u)
+                v = jnp.where(ok, v - u1, v)
+                mean = jnp.where(ok, mean - u2, mean)
+                return (u, v, mean)
+
+            u, v, mean = jax.lax.fori_loop(
+                0, n_iter, body,
+                (uv_ref[i, 0], uv_ref[i, 1], jnp.float32(0.0)))
+
+            # final step-size probe for the convergence flag (the extra
+            # evaluation after the loop, matching feature_align.align2d)
+            ok = ok0 & inb(u, v)
+            cur = sample(u, v)
+            r = cur - T + mean
+            u0, u1, _ = solve(r)
+            step2 = jnp.where(ok, u0 * u0 + u1 * u1, jnp.inf)
+            out_ref[i, 0] = u
+            out_ref[i, 1] = v
+            out_ref[i, 2] = mean
+            out_ref[i, 3] = step2
+            return 0
+
+        jax.lax.fori_loop(0, BLK, one, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_iter", "half", "h", "w"))
+def _align_pallas(stack, lvl, T, gx, gy, hinv, uv0, valid, n_iter: int,
+                  half: int, h: int, w: int):
+    n = lvl.shape[0]
+    npad = ((n + BLK - 1) // BLK) * BLK
+    p = 2 * half
+    L, hp, wp = stack.shape
+    uv0 = jnp.nan_to_num(uv0, nan=0.0, posinf=0.0, neginf=0.0)
+    out = pl.pallas_call(
+        _make_align_kernel(n_iter, half, h, w),
+        grid=(npad // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, 9), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, p, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, p, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, p, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, hp, wp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLK, 4), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 4), jnp.float32),
+    )(_pad_rows(lvl.astype(jnp.int32), npad)[:, None],
+      _pad_rows(uv0, npad),
+      _pad_rows(valid.astype(jnp.int32), npad)[:, None],
+      _pad_rows(hinv.reshape(n, 9), npad),
+      _pad_rows(T, npad), _pad_rows(gx, npad), _pad_rows(gy, npad), stack)
+    return out[:n, :2], out[:n, 2], out[:n, 3]
+
+
+def _align_fallback(stack, lvl, T, gx, gy, hinv, uv0, valid, n_iter: int,
+                    half: int, h: int, w: int):
+    n = lvl.shape[0]
+    p = 2 * half
+    area = p * p
+    dtype = uv0.dtype
+    Tf = T.reshape(n, area)
+    J = jnp.stack([gx.reshape(n, area), gy.reshape(n, area),
+                   jnp.ones((n, area), dtype)], axis=-1)     # (N, A, 3)
+    lvl = jnp.clip(lvl.astype(jnp.int32), 0, stack.shape[0] - 1)
+    wl = (w >> lvl).astype(dtype)
+    hl = (h >> lvl).astype(dtype)
+    m = half + 1.0
+
+    def inb(uv):
+        return ((uv[..., 0] >= m) & (uv[..., 0] < wl - 1 - m)
+                & (uv[..., 1] >= m) & (uv[..., 1] < hl - 1 - m))
+
+    def step(uv, mean):
+        cur = _sample_fallback(stack, lvl, uv, half, False).reshape(n, area)
+        r = cur - Tf + mean[:, None]
+        g = jnp.einsum("nai,na->ni", J, r)
+        return jnp.einsum("nij,nj->ni", hinv, g)
+
+    def body(it, carry):
+        del it
+        uv, mean = carry
+        ok = valid & inb(uv)
+        upd = step(uv, mean)
+        uv = jnp.where(ok[:, None], uv - upd[:, :2], uv)
+        mean = jnp.where(ok, mean - upd[:, 2], mean)
+        return uv, mean
+
+    uv, mean = jax.lax.fori_loop(0, n_iter, body,
+                                 (uv0, jnp.zeros((n,), dtype)))
+    ok = valid & inb(uv)
+    upd = step(uv, mean)
+    step2 = jnp.where(ok, jnp.sum(upd[:, :2] ** 2, axis=-1), jnp.inf)
+    return uv, mean, step2
+
+
+# ref feature_alignment.cpp:276: min_update_squared = 0.03*0.03
+MIN_UPDATE_SQUARED = 0.03 * 0.03
+
+
+def align_iclk(stack, lvl, ref_patch, ref_dx, ref_dy, init_uv, valid,
+               n_iter: int, h: int | None = None, w: int | None = None,
+               use_pallas=None, interpret: bool = False):
+    """Batched 2D inverse-compositional LK with mean-brightness term at
+    per-feature pyramid level — the stack-native `align2D`.
+
+    Returns (uv, converged, mean_diff) like feature_align.align2d; the
+    Hessian is built from the reference patch gradients (IC cache) and the
+    full iteration loop runs inside one Pallas program per feature.
+    """
+    L, hp, wp = stack.shape
+    h = hp if h is None else h
+    w = wp if w is None else w
+    n, p, _ = ref_patch.shape
+    area = p * p
+    dtype = ref_patch.dtype
+    gxf = ref_dx.reshape(n, area)
+    gyf = ref_dy.reshape(n, area)
+    ones = jnp.ones_like(gxf)
+    J = jnp.stack([gxf, gyf, ones], axis=-1)
+    H = jnp.einsum("nai,naj->nij", J, J) + 1e-6 * jnp.eye(3, dtype=dtype)
+    hinv = jnp.linalg.inv(H)
+
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            uv, mean, step2 = _align_pallas(
+                stack, lvl, ref_patch, ref_dx, ref_dy, hinv, init_uv, valid,
+                n_iter, p // 2, h, w)
+    elif _auto_backend(use_pallas):
+        uv, mean, step2 = _align_pallas(
+            stack, lvl, ref_patch, ref_dx, ref_dy, hinv, init_uv, valid,
+            n_iter, p // 2, h, w)
+    else:
+        uv, mean, step2 = _align_fallback(
+            stack, lvl, ref_patch, ref_dx, ref_dy, hinv, init_uv, valid,
+            n_iter, p // 2, h, w)
+
+    drift = jnp.linalg.norm(uv - init_uv, axis=-1)
+    converged = valid & (step2 < 4.0 * MIN_UPDATE_SQUARED) & (drift < p)
+    return uv, converged, mean

@@ -8,14 +8,17 @@ reshape-reduce that XLA fuses into a single VPU pass — no Pallas needed
 
 Two representations:
   * `build_pyramid` — tuple of per-level `(H_l, W_l)` arrays (host-side /
-    reference-shaped code paths).
-  * `build_stack` — one zero-padded `(L, H, W)` array with level `l`
-    occupying the top-left `(H>>l, W>>l)` corner.  This is the layout the
-    Pallas sampling kernels index with a dynamic leading dimension, so one
-    kernel call serves features living on different pyramid levels (the
-    data-dependent-level gather of `matcher.cpp:156-204` without the masked
-    per-level duplication).  Zero padding keeps masked out-of-level reads
-    finite.
+    reference-shaped code paths: detection, bootstrap KLT).
+  * `build_stack` — one zero-padded `(L, Hp, Wp)` array with level `l`
+    occupying the top-left `(H>>l, W>>l)` corner.  `Hp`/`Wp` are rounded up
+    to the TPU tile grid (8, 128) with minimums (32, 256) so the Pallas
+    window-sampling kernels (`ops/patch_pallas.py`) can do aligned
+    `(24, 256)` loads anywhere.  One kernel call serves features living on
+    different pyramid levels (the data-dependent-level gather of
+    `matcher.cpp:156-204` without masked per-level duplication).  Zero
+    padding keeps masked out-of-level reads finite; validity w.r.t. the
+    TRUE level dims `(H>>l, W>>l)` is the caller's mask, exactly like the
+    reference bounds-checks before touching pixels.
 
 Images are `(H, W)` float32 in [0, 255] (the reference keeps uint8; we keep
 the 0-255 scale so intensity thresholds match reference semantics).
@@ -26,6 +29,20 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+
+# minimum padded dims so the (24, 256)-window Pallas loads always fit
+MIN_STACK_H = 32
+MIN_STACK_W = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def stack_shape(h: int, w: int, n_levels: int) -> tuple[int, int, int]:
+    """Padded (L, Hp, Wp) stack dims for a true (h, w) level-0 image."""
+    return (n_levels, max(_round_up(h, 8), MIN_STACK_H),
+            max(_round_up(w, 128), MIN_STACK_W))
 
 
 def half_sample(img: jnp.ndarray) -> jnp.ndarray:
@@ -46,28 +63,31 @@ def build_pyramid(img: jnp.ndarray, n_levels: int) -> tuple[jnp.ndarray, ...]:
 
 
 def build_stack(img: jnp.ndarray, n_levels: int) -> jnp.ndarray:
-    """Padded pyramid stack (L, H, W); level l at [l, :H>>l, :W>>l]."""
-    h, w = img.shape
-    levels = build_pyramid(img, n_levels)
-    stack = jnp.zeros((n_levels, h, w), img.dtype)
-    for l, im in enumerate(levels):
-        stack = stack.at[l, : im.shape[0], : im.shape[1]].set(im)
-    return stack
+    """Padded pyramid stack (L, Hp, Wp); level l at [l, :H>>l, :W>>l]."""
+    return stack_from_pyramid(build_pyramid(img, n_levels))
 
 
 def stack_from_pyramid(pyr: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Pack an existing per-level tuple into the padded (L, H, W) layout."""
+    """Pack a per-level tuple into the padded (L, Hp, Wp) layout."""
     h, w = pyr[0].shape
-    stack = jnp.zeros((len(pyr), h, w), pyr[0].dtype)
+    _, hp, wp = stack_shape(h, w, len(pyr))
+    stack = jnp.zeros((len(pyr), hp, wp), pyr[0].dtype)
     for l, im in enumerate(pyr):
         stack = stack.at[l, : im.shape[0], : im.shape[1]].set(im)
     return stack
 
 
-def level_view(stack: jnp.ndarray, level: int) -> jnp.ndarray:
-    """The (H>>l, W>>l) image of a static level inside the padded stack."""
-    h, w = stack.shape[-2], stack.shape[-1]
+def level_view(stack: jnp.ndarray, level: int, h: int, w: int) -> jnp.ndarray:
+    """The true (h>>l, w>>l) image of a static level inside a padded stack.
+    `h`, `w` are the TRUE level-0 dims (the stack itself is padded)."""
     return stack[..., level, : h >> level, : w >> level]
+
+
+def stack_levels(stack: jnp.ndarray, h: int, w: int,
+                 n_levels: int | None = None) -> tuple[jnp.ndarray, ...]:
+    """Unpack a padded stack into the per-level tuple representation."""
+    n = n_levels if n_levels is not None else stack.shape[-3]
+    return tuple(level_view(stack, l, h, w) for l in range(n))
 
 
 def pyramid_shapes(h: int, w: int, n_levels: int) -> Sequence[tuple[int, int]]:

@@ -13,11 +13,19 @@ Reference semantics reproduced:
     inverse-compositional cache);
   * Gauss-Newton with rollback: an iteration that increases chi2 reverts and
     freezes the estimate (`nlls_solver_impl.hpp:62-74`), implemented here as a
-    best-so-far register inside `lax.fori_loop` (fixed trip count, jit-safe).
+    best-so-far register inside `lax.fori_loop` (fixed trip count, jit-safe);
+  * optional Levenberg-Marquardt damping (`nlls_solver_impl.hpp:103-229`):
+    `method="lm"` multiplies the normal-equation diagonal by (1+mu), growing
+    mu by nu on a failed step and shrinking it on success — the reference's
+    second solver strategy, off the live path there and here.
 
-TPU-native design: all features are processed as one batched gather +
-einsum per iteration (N x 16 residuals, 6x6 normal equations on-chip);
-no per-feature loops, no dynamic shapes.
+TPU-native design: all features are processed as one batched Pallas window
+sample + einsum per iteration (N x 16 residuals, 6x6 normal equations
+on-chip); no per-feature loops, no dynamic shapes.  Frames arrive as padded
+`(L, Hp, Wp)` pyramid stacks (ops/pyramid.build_stack); patch reads go
+through `ops/patch_pallas.sample_patches` (aligned VMEM window loads — the
+replacement for the reference's scalar patch walk, sparse_img_align.cpp:
+184-286) with the pure-JAX gather fallback on CPU.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ import jax.numpy as jnp
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry.se3 import SE3, hat
 from android_svo_tpu.ops import interp
+from android_svo_tpu.ops import patch_pallas as pp
 
 
 def _geo_jacobian(p: jnp.ndarray) -> jnp.ndarray:
@@ -51,15 +60,30 @@ def _geo_jacobian(p: jnp.ndarray) -> jnp.ndarray:
     return dpi @ dp
 
 
-def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def level_substack(stack: jnp.ndarray, level: int, h: int, w: int):
+    """A (1, rows, cols) aligned slice of one pyramid level out of the padded
+    stack — small enough to live in VMEM across a whole GN level, so the
+    per-iteration Pallas call doesn't re-stream the full pyramid."""
+    hl, wl = h >> level, w >> level
+    rows = min(max(_round_up(hl, 8), 24), stack.shape[-2])
+    cols = min(max(_round_up(wl, 128), 256), stack.shape[-1])
+    return stack[level:level + 1, :rows, :cols]
+
+
+def sparse_img_align(ref_stack, cur_stack, cam, T_cur_ref_init: SE3,
                      ref_px: jnp.ndarray, ref_f: jnp.ndarray,
                      ref_depth: jnp.ndarray, valid: jnp.ndarray,
-                     cfg: SVOConfig):
+                     cfg: SVOConfig, method: str = "gn"):
     """Estimate T_cur_ref by direct alignment.
 
     Args:
-      ref_pyr / cur_pyr: tuples of pyramid level images (level 0 first).
-      cam: camera model (shared by both frames, like the reference).
+      ref_stack / cur_stack: (L, Hp, Wp) padded pyramid stacks.
+      cam: camera model (shared by both frames, like the reference); its
+        width/height give the TRUE level-0 dims inside the padded stacks.
       T_cur_ref_init: initial relative pose (last frame's motion model,
         ref frame_handler_mono.cpp:175).
       ref_px: (N, 2) feature pixels in the ref frame at level 0.
@@ -67,6 +91,7 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
       ref_depth: (N,) range along the bearing to the 3D point
         (ref sparse_img_align.cpp:128: `(point->pos - ref_pos).norm()`).
       valid: (N,) features with a 3D point.
+      method: "gn" (default) or "lm" (Levenberg-Marquardt damping).
 
     Returns (T_cur_ref, n_tracked, chi2) — n_tracked is the number of
     features contributing valid residuals at the finest aligned level.
@@ -74,7 +99,12 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
     dtype = ref_px.dtype
     half = cfg.img_align_patch_halfsize
     patch_area = cfg.img_align_patch_size ** 2
+    use_pallas = pp.cfg_use_pallas(cfg)
+    H_img, W_img = cam.height, cam.width
     xyz_ref = ref_f * ref_depth[..., None]                 # (N,3) in ref frame
+    n = ref_px.shape[0]
+    zeros_lvl = jnp.zeros((n,), jnp.int32)
+    lm = method == "lm"
 
     T = T_cur_ref_init
     n_tracked = jnp.zeros((), jnp.int32)
@@ -82,18 +112,18 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
 
     for level in range(cfg.img_align_max_level,
                        cfg.img_align_min_level - 1, -1):
-        img_ref = ref_pyr[level]
-        img_cur = cur_pyr[level]
         scale = jnp.asarray(1.0 / 2 ** level, dtype)
-        h, w = img_ref.shape
+        h, w = H_img >> level, W_img >> level
+        ref_sub = level_substack(ref_stack, level, H_img, W_img)
+        cur_sub = level_substack(cur_stack, level, H_img, W_img)
 
         # ---- precompute reference patches + jacobian cache (per level) ----
         uv_ref = cam.world2cam(xyz_ref) * scale            # level coords
         ok_ref = (valid & interp.in_bounds(uv_ref, h, w, half + 1)
                   & (xyz_ref[..., 2] > 1e-3))
-        patch_ref, gx, gy = interp.extract_patches_with_grad(
-            img_ref, uv_ref, half)                         # (N,P,P)
-        n = ref_px.shape[0]
+        patch_ref, gx, gy = pp.sample_patches(
+            ref_sub, zeros_lvl, uv_ref, half, grad=True,
+            use_pallas=use_pallas)                         # (N,P,P)
         patch_ref = patch_ref.reshape(n, patch_area)
         gx = gx.reshape(n, patch_area)
         gy = gy.reshape(n, patch_area)
@@ -108,14 +138,15 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
 
         def body(it, carry):
             del it
-            T_q, T_t, best_q, best_t, best_chi2, stopped = carry
+            T_q, T_t, best_q, best_t, best_chi2, stopped, mu = carry
             Tl = SE3(q=T_q, t=T_t)
             xyz_cur = Tl.apply(xyz_ref)
             uv_cur = cam.world2cam(xyz_cur) * scale
             ok = (ok_ref & (xyz_cur[..., 2] > 1e-3)
                   & interp.in_bounds(uv_cur, h, w, half + 1))
-            patch_cur = interp.extract_patches(
-                img_cur, uv_cur, half).reshape(n, patch_area)
+            patch_cur = pp.sample_patches(
+                cur_sub, zeros_lvl, uv_cur, half,
+                use_pallas=use_pallas).reshape(n, patch_area)
             r = patch_cur - patch_ref                      # (N, A)
             r = jnp.where(ok[:, None], r, 0.0)
             Jm = jnp.where(ok[:, None, None], J, 0.0)
@@ -123,16 +154,25 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
             chi2 = jnp.sum(r * r) / n_meas.astype(dtype)
             H = jnp.einsum("nai,naj->ij", Jm, Jm)
             g = jnp.einsum("nai,na->i", Jm, r)
-            # damped solve for safety in f32
-            H = H + 1e-4 * jnp.eye(6, dtype=dtype) * jnp.trace(H) / 6.0
+            # damped solve for safety in f32; LM scales the damping by mu
+            # (ref nlls_solver_impl.hpp:150: H(i,i) *= 1 + mu)
+            damp = 1e-4 + (mu if lm else 0.0)
+            H = H + damp * jnp.eye(6, dtype=dtype) * jnp.trace(H) / 6.0
             dx = jnp.linalg.solve(H, -g)
             improved = chi2 < best_chi2
             new_best_q = jnp.where(improved, T_q, best_q)
             new_best_t = jnp.where(improved, T_t, best_t)
             new_best_chi2 = jnp.where(improved, chi2, best_chi2)
-            # rollback semantics: once chi2 stops improving, freeze
-            # (ref nlls_solver_impl.hpp:62-74)
-            stop_now = stopped | (~improved)
+            if lm:
+                # grow damping on failure, relax on success and keep going
+                # (ref nlls_solver_impl.hpp:176-210: mu *= nu / mu /= ~3)
+                mu = jnp.where(improved, jnp.maximum(mu / 3.0, 1e-8),
+                               mu * 10.0)
+                stop_now = stopped
+            else:
+                # rollback semantics: once chi2 stops improving, freeze
+                # (ref nlls_solver_impl.hpp:62-74)
+                stop_now = stopped | (~improved)
             T_new = Tl.compose(SE3.exp(dx))
             T_new = T_new.normalize()
             upd = ~stop_now
@@ -140,10 +180,10 @@ def sparse_img_align(ref_pyr, cur_pyr, cam, T_cur_ref_init: SE3,
             T_t2 = jnp.where(upd, T_new.t, T_t)
             small = jnp.linalg.norm(dx) < cfg.img_align_eps
             return (T_q2, T_t2, new_best_q, new_best_t, new_best_chi2,
-                    stop_now | small)
+                    stop_now | small, mu)
 
         init = (T.q, T.t, T.q, T.t, jnp.asarray(jnp.inf, dtype),
-                jnp.zeros((), bool))
+                jnp.zeros((), bool), jnp.asarray(0.01, dtype))
         out = jax.lax.fori_loop(0, cfg.img_align_n_iter, body, init)
         T = SE3(q=out[2], t=out[3])                        # best-so-far
         chi2_out = out[4]

@@ -20,11 +20,13 @@ from android_svo_tpu.core.pose_opt import optimize_pose
 from android_svo_tpu.core.reprojector import reproject_map
 from android_svo_tpu.data import synthetic
 from android_svo_tpu.geometry.se3 import SE3
-from android_svo_tpu.ops.pyramid import build_pyramid
+from android_svo_tpu.ops.pyramid import build_pyramid, stack_from_pyramid
 from android_svo_tpu.ops.sparse_align import sparse_img_align
 
 W, H = 640, 480
 cfg = SVOConfig(init_min_disparity=20.0)
+if os.environ.get("NO_PALLAS"):
+    cfg = cfg.replace(use_pallas=False)
 cam = synthetic.default_camera(W, H)
 dims = st.arena_dims(cfg, W, H)
 tex = synthetic.make_texture(jax.random.PRNGKey(11), 2048)
@@ -53,34 +55,37 @@ def timed(fn, *args, n=10):
 
 
 cur_pyr = build_pyramid(img, cfg.total_pyr_levels)
+cur_stack = stack_from_pyramid(cur_pyr)
 T_cw = vo.last.T_fw
 
-t = timed(jax.jit(lambda im: build_pyramid(im, cfg.total_pyr_levels)), img)
-print(f"pyramid: {t:.1f} ms", flush=True)
+t = timed(jax.jit(lambda im: stack_from_pyramid(
+    build_pyramid(im, cfg.total_pyr_levels))), img)
+print(f"pyramid+stack: {t:.1f} ms", flush=True)
 
 
 @jax.jit
-def stage_align(vo, cur_pyr):
+def stage_align(vo, cur_stack):
     last = vo.last
     p_w = vo.points.pos[last.ftr_point]
     depth_last = jnp.linalg.norm(p_w - last.T_fw.inverse().t, axis=-1)
     has_pt = last.ftr_valid & (last.ftr_point >= 0) & (
         vo.points.valid[last.ftr_point])
-    T, n, x = sparse_img_align(last.pyr, cur_pyr, cam,
+    T, n, x = sparse_img_align(last.stack, cur_stack, cam,
                                SE3.identity(dtype=jnp.float32),
                                last.ftr_px, last.ftr_f, depth_last, has_pt,
                                cfg)
     return T.t, n
 
-print(f"sparse_align: {timed(stage_align, vo, cur_pyr):.1f} ms", flush=True)
+print(f"sparse_align: {timed(stage_align, vo, cur_stack):.1f} ms", flush=True)
 
 
 @jax.jit
-def stage_reproject(vo, cur_pyr):
-    feats, pts2, n = reproject_map(vo, cur_pyr, vo.last.T_fw, cam, cfg, dims)
+def stage_reproject(vo, cur_stack):
+    feats, pts2, n = reproject_map(vo, cur_stack, vo.last.T_fw, cam, cfg,
+                                   dims)
     return feats["px"], n
 
-print(f"reproject+align: {timed(stage_reproject, vo, cur_pyr):.1f} ms",
+print(f"reproject+align: {timed(stage_reproject, vo, cur_stack):.1f} ms",
       flush=True)
 
 
@@ -97,23 +102,23 @@ print(f"pose_opt: {timed(stage_pose, vo):.1f} ms", flush=True)
 
 
 @jax.jit
-def stage_seeds(vo, cur_pyr):
-    vo2 = pipeline.update_seeds(vo, cur_pyr, vo.last.T_fw, cam, cfg)
+def stage_seeds(vo, cur_stack):
+    vo2 = pipeline.update_seeds(vo, cur_stack, vo.last.T_fw, cam, cfg)
     return vo2.seeds.mu
 
-print(f"update_seeds: {timed(stage_seeds, vo, cur_pyr):.1f} ms", flush=True)
+print(f"update_seeds: {timed(stage_seeds, vo, cur_stack):.1f} ms", flush=True)
 
 
 @jax.jit
-def stage_insert(vo, cur_pyr):
+def stage_insert(vo, cur_pyr, cur_stack):
     feats = {"px": vo.last.ftr_px, "f": vo.last.ftr_f,
              "level": vo.last.ftr_level, "point": vo.last.ftr_point,
              "valid": vo.last.ftr_valid}
-    vo2 = pipeline.insert_keyframe(vo, cur_pyr, vo.last.T_fw, feats, cam,
-                                   cfg, dims)
+    vo2 = pipeline.insert_keyframe(vo, cur_pyr, cur_stack, vo.last.T_fw,
+                                   feats, cam, cfg, dims)
     return vo2.kf_batch
 
-print(f"insert_keyframe: {timed(stage_insert, vo, cur_pyr):.1f} ms",
+print(f"insert_keyframe: {timed(stage_insert, vo, cur_pyr, cur_stack):.1f} ms",
       flush=True)
 
 print(f"full track: {timed(handler._jit_track, vo, img):.1f} ms", flush=True)

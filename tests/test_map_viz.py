@@ -111,7 +111,7 @@ class TestRelocalizeAtPose:
                           * np.asarray(vo.kfs.valid)))
         kf_id = int(vo.kfs.frame_id[k])
         T_kw = SE3(q=vo.kfs.q_kw[k], t=vo.kfs.t_kw[k])
-        img = vo.kfs.pyr[0][k]
+        img = vo.kfs.stack[k, 0, :H, :W]
         res = handler.relocalize_frame_at_pose(kf_id, T_kw, img)
         assert res.result != pipeline.RES_FAILURE
         err = float(jnp.linalg.norm(res.T_cw.inverse().t

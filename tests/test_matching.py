@@ -26,9 +26,12 @@ def make_pair(dx=0.08, dy=0.03, drot=0.015, size=512):
     n = CFG.total_pyr_levels
     ref_pyr = pyramid.build_pyramid(img_ref, n)
     cur_pyr = pyramid.build_pyramid(img_cur, n)
+    # stack layouts: cur frame as (L,Hp,Wp); ref frame as a 1-KF arena
+    cur_stack = pyramid.stack_from_pyramid(cur_pyr)
+    kf_stack = pyramid.stack_from_pyramid(ref_pyr)[None]
     feats = detect.detect_features(ref_pyr[:3], None, CFG)
     T_cur_ref = T_w_cur.inverse().compose(T_w_ref)
-    return cam, ref_pyr, cur_pyr, feats, T_w_ref, T_w_cur, T_cur_ref
+    return cam, cur_stack, kf_stack, feats, T_w_ref, T_w_cur, T_cur_ref
 
 
 class TestAlign2D:
@@ -88,14 +91,14 @@ class TestAlign1D:
 class TestWarpAffine:
     def test_identity_warp_reproduces_patch(self):
         img = synthetic.make_texture(KEY, 256)
-        stack = img[None]                                    # one "keyframe"
+        kf_stack = pyramid.stack_from_pyramid((img,))[None]  # (1,1,Hp,Wp)
         px = jnp.array([[100.0, 80.0], [60.0, 150.0]])
         A = jnp.tile(jnp.eye(2)[None], (2, 1, 1))
         lvl = jnp.zeros(2, jnp.int32)
         slvl = jnp.zeros(2, jnp.int32)
         patch, ok = matcher.warp_affine_stack(
-            (stack,), jnp.zeros(2, jnp.int32), A, px, lvl, slvl,
-            CFG.patch_halfsize, 1)
+            kf_stack, jnp.zeros(2, jnp.int32), A, px, lvl, slvl,
+            CFG.patch_halfsize, 256, 256)
         direct = interp.extract_patches(img, px, CFG.patch_halfsize)
         assert bool(ok.all())
         np.testing.assert_allclose(patch, direct, atol=1e-4)
@@ -111,7 +114,7 @@ class TestWarpAffine:
 
 class TestFindMatchDirect:
     def test_matches_projected_points(self):
-        (cam, ref_pyr, cur_pyr, feats, T_w_ref, T_w_cur,
+        (cam, cur_stack, kf_stack, feats, T_w_ref, T_w_cur,
          T_cur_ref) = make_pair()
         valid = feats["valid"]
         px_ref = feats["px"]
@@ -124,10 +127,9 @@ class TestFindMatchDirect:
         valid = valid & inb & (xyz_cur[..., 2] > 0)
         # start from a perturbed projection (reprojection with pose error)
         init = px_gt + jax.random.normal(KEY, px_gt.shape) * 1.5
-        ref_stack = tuple(l[None] for l in ref_pyr)
         kf_idx = jnp.zeros(px_ref.shape[0], jnp.int32)
         px_cur, slvl, ok = matcher.find_match_direct(
-            cur_pyr, ref_stack, kf_idx, cam, px_ref, f_ref, depth,
+            cur_stack, kf_stack, kf_idx, cam, px_ref, f_ref, depth,
             feats["level"], T_cur_ref, init, valid, CFG)
         n_ok = int(jnp.sum(ok))
         assert n_ok > 0.6 * int(jnp.sum(valid)), (n_ok, int(jnp.sum(valid)))
@@ -138,7 +140,7 @@ class TestFindMatchDirect:
 
 class TestEpipolarMatch:
     def test_recovers_depth(self):
-        (cam, ref_pyr, cur_pyr, feats, T_w_ref, T_w_cur,
+        (cam, cur_stack, kf_stack, feats, T_w_ref, T_w_cur,
          T_cur_ref) = make_pair(dx=0.15, dy=0.0, drot=0.0)
         valid = feats["valid"] & (feats["level"] == 0)
         px_ref = feats["px"]
@@ -147,10 +149,9 @@ class TestEpipolarMatch:
         d_est = jnp.full_like(depth_gt, 3.4)
         d_min = jnp.full_like(depth_gt, 2.0)
         d_max = jnp.full_like(depth_gt, 6.0)
-        ref_stack = tuple(l[None] for l in ref_pyr)
         kf_idx = jnp.zeros(px_ref.shape[0], jnp.int32)
         depth, px_cur, ok = matcher.find_epipolar_match(
-            cur_pyr, ref_stack, kf_idx, cam, px_ref, f_ref, feats["level"],
+            cur_stack, kf_stack, kf_idx, cam, px_ref, f_ref, feats["level"],
             T_cur_ref, d_est, d_min, d_max, valid, CFG)
         n_ok = int(jnp.sum(ok))
         assert n_ok > 0.5 * int(jnp.sum(valid)), (n_ok, int(jnp.sum(valid)))

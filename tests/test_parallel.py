@@ -35,8 +35,8 @@ class TestMesh:
         # seeds shard over (data, map); keyframe pyramids only over data
         assert tree.seeds.mu.spec == jax.sharding.PartitionSpec(
             "data", "map")
-        assert tree.kfs.pyr[0].spec == jax.sharding.PartitionSpec(
-            "data", None, None, None)
+        assert tree.kfs.stack.spec == jax.sharding.PartitionSpec(
+            "data", None, None, None, None)
 
 
 class TestShardedStep:

@@ -87,8 +87,8 @@ class TestEpiScan:
         uv_b = jnp.array([[cx + 8.0, cy + 4.0]], jnp.float32)
         lvl = jnp.zeros((1,), jnp.int32)
         for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
-            t, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=33,
-                               half=4, **kwargs)
+            t, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps_max=33,
+                               half=4, h=H, w=W, **kwargs)
             assert abs(float(t[0]) - 0.5) < 0.04, kwargs
             assert float(s[0]) < 1.0, kwargs
 
@@ -99,13 +99,29 @@ class TestEpiScan:
         uv_b = uv_a + 10.0
         lvl = jnp.zeros((n,), jnp.int32)
         ref = pp.sample_patches(stack, lvl, uv_a, 4, use_pallas=False)
-        t0, s0 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=17,
-                             half=4, use_pallas=False)
-        t1, s1 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=17,
-                             half=4, interpret=True)
+        # per-seed dynamic step counts must agree between spec and kernel
+        ns = jnp.array([17, 9, 3, 17, 5], jnp.int32)
+        t0, s0 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps_max=17,
+                             half=4, n_steps_each=ns, h=H, w=W,
+                             use_pallas=False)
+        t1, s1 = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps_max=17,
+                             half=4, n_steps_each=ns, h=H, w=W,
+                             interpret=True)
         np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), atol=1e-5)
         np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
                                    rtol=1e-3, atol=1e-2)
+
+    def test_short_count_scans_fewer_positions(self, stack):
+        # with k=2 only the endpoints are scored -> best t is 0 or 1
+        uv_a = _interior_uv(jax.random.PRNGKey(5), 1, 0, 12)
+        uv_b = uv_a + 8.0
+        lvl = jnp.zeros((1,), jnp.int32)
+        ref = pp.sample_patches(stack, lvl, uv_a + 4.0, 4, use_pallas=False)
+        ns = jnp.array([2], jnp.int32)
+        for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
+            t, _ = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps_max=33,
+                               half=4, n_steps_each=ns, h=H, w=W, **kwargs)
+            assert float(t[0]) in (0.0, 1.0), kwargs
 
     def test_out_of_image_segment_scores_inf(self, stack):
         uv_a = jnp.array([[-100.0, -100.0]], jnp.float32)
@@ -113,9 +129,66 @@ class TestEpiScan:
         lvl = jnp.zeros((1,), jnp.int32)
         ref = jnp.ones((1, 8, 8), jnp.float32)
         for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
-            _, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps=9,
-                               half=4, **kwargs)
+            _, s = pp.epi_scan(stack, lvl, uv_a, uv_b, ref, n_steps_max=9,
+                               half=4, h=H, w=W, **kwargs)
             assert not np.isfinite(float(s[0])), kwargs
+
+
+@pytest.fixture(scope="module")
+def smooth_stack():
+    """White noise has no alignment basin beyond ~1px; smooth it so ICLK
+    has gradients to follow (like a real image)."""
+    img = jax.random.uniform(jax.random.PRNGKey(2), (H, W), jnp.float32,
+                             minval=0.0, maxval=255.0)
+    k = jnp.ones((5, 5), jnp.float32) / 25.0
+    img = jax.scipy.signal.convolve2d(img, k, mode="same")
+    return build_stack(img, L)
+
+
+class TestAlignICLK:
+    def _setup(self, stack, n=5, lvl_val=0, shift=(1.3, -0.9)):
+        key = jax.random.PRNGKey(21)
+        uv_gt = _interior_uv(key, n, lvl_val, 14)
+        lvl = jnp.full((n,), lvl_val, jnp.int32)
+        ref, gx, gy = pp.sample_patches(stack, lvl, uv_gt, 4, grad=True,
+                                        use_pallas=False)
+        init = uv_gt + jnp.array(shift, jnp.float32)
+        return lvl, ref, gx, gy, uv_gt, init
+
+    def test_recovers_shift_both_paths(self, smooth_stack):
+        stack = smooth_stack
+        lvl, ref, gx, gy, uv_gt, init = self._setup(stack)
+        for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
+            uv, conv, _ = pp.align_iclk(
+                stack, lvl, ref, gx, gy, init, jnp.ones(5, bool),
+                n_iter=12, h=H, w=W, **kwargs)
+            assert bool(conv.all()), (kwargs, np.asarray(conv))
+            np.testing.assert_allclose(np.asarray(uv), np.asarray(uv_gt),
+                                       atol=0.05, err_msg=str(kwargs))
+
+    def test_kernel_matches_fallback(self, smooth_stack):
+        stack = smooth_stack
+        lvl, ref, gx, gy, uv_gt, init = self._setup(stack, lvl_val=1,
+                                                    shift=(0.8, 0.5))
+        uv0, c0, m0 = pp.align_iclk(stack, lvl, ref, gx, gy, init,
+                                    jnp.ones(5, bool), n_iter=6, h=H, w=W,
+                                    use_pallas=False)
+        uv1, c1, m1 = pp.align_iclk(stack, lvl, ref, gx, gy, init,
+                                    jnp.ones(5, bool), n_iter=6, h=H, w=W,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(uv0), np.asarray(uv1),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(c0), np.asarray(c1))
+
+    def test_invalid_stays_put(self, smooth_stack):
+        stack = smooth_stack
+        lvl, ref, gx, gy, uv_gt, init = self._setup(stack, n=5)
+        for kwargs in [dict(use_pallas=False), dict(interpret=True)]:
+            uv, conv, _ = pp.align_iclk(
+                stack, lvl, ref, gx, gy, init, jnp.zeros(5, bool),
+                n_iter=6, h=H, w=W, **kwargs)
+            np.testing.assert_allclose(np.asarray(uv), np.asarray(init))
+            assert not bool(conv.any())
 
 
 class TestStack:

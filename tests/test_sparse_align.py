@@ -24,6 +24,8 @@ def setup_pair(dx=0.05, dy=0.02, drot=0.01, size=640):
     n_lvls = cfg.total_pyr_levels
     ref_pyr = pyramid.build_pyramid(img_ref, n_lvls)
     cur_pyr = pyramid.build_pyramid(img_cur, n_lvls)
+    ref_stack = pyramid.stack_from_pyramid(ref_pyr)
+    cur_stack = pyramid.stack_from_pyramid(cur_pyr)
 
     feats = detect.detect_features(ref_pyr[:3], None, cfg)
     px = feats["px"]
@@ -32,15 +34,16 @@ def setup_pair(dx=0.05, dy=0.02, drot=0.01, size=640):
     # range along bearing = z / f_z
     depth = depth_z                                     # true_depth is along ray
     T_cur_ref_gt = T_w_cur.inverse().compose(T_w_ref)
-    return cfg, cam, ref_pyr, cur_pyr, px, f, depth, feats["valid"], T_cur_ref_gt
+    return (cfg, cam, ref_stack, cur_stack, px, f, depth, feats["valid"],
+            T_cur_ref_gt)
 
 
 class TestSparseAlign:
     def test_recovers_small_motion(self):
-        (cfg, cam, ref_pyr, cur_pyr, px, f, depth, valid,
+        (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
          T_gt) = setup_pair(dx=0.05, dy=0.02, drot=0.01)
         T_est, n_tracked, chi2 = sparse_align.sparse_img_align(
-            ref_pyr, cur_pyr, cam, SE3.identity(), px, f, depth, valid, cfg)
+            ref_stack, cur_stack, cam, SE3.identity(), px, f, depth, valid, cfg)
         t_err = float(jnp.linalg.norm(T_est.t - T_gt.t))
         r_err = float(jnp.linalg.norm(
             T_est.inverse().compose(T_gt).log()[3:]))
@@ -49,24 +52,24 @@ class TestSparseAlign:
         assert r_err < 0.005, r_err
 
     def test_larger_motion_coarse_to_fine(self):
-        (cfg, cam, ref_pyr, cur_pyr, px, f, depth, valid,
+        (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
          T_gt) = setup_pair(dx=0.15, dy=-0.08, drot=0.02)
         T_est, n_tracked, _ = sparse_align.sparse_img_align(
-            ref_pyr, cur_pyr, cam, SE3.identity(), px, f, depth, valid, cfg)
+            ref_stack, cur_stack, cam, SE3.identity(), px, f, depth, valid, cfg)
         t_err = float(jnp.linalg.norm(T_est.t - T_gt.t))
         assert t_err < 0.02, t_err
 
     def test_identity_motion_stays_identity(self):
-        (cfg, cam, ref_pyr, _, px, f, depth, valid, _) = setup_pair()
+        (cfg, cam, ref_stack, _, px, f, depth, valid, _) = setup_pair()
         T_est, _, chi2 = sparse_align.sparse_img_align(
-            ref_pyr, ref_pyr, cam, SE3.identity(), px, f, depth, valid, cfg)
+            ref_stack, ref_stack, cam, SE3.identity(), px, f, depth, valid, cfg)
         assert float(jnp.linalg.norm(T_est.t)) < 1e-4
         assert float(chi2) < 1e-4
 
     def test_jit_compiles(self):
-        (cfg, cam, ref_pyr, cur_pyr, px, f, depth, valid,
+        (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
          T_gt) = setup_pair()
         fn = jax.jit(lambda T0: sparse_align.sparse_img_align(
-            ref_pyr, cur_pyr, cam, T0, px, f, depth, valid, cfg)[0])
+            ref_stack, cur_stack, cam, T0, px, f, depth, valid, cfg)[0])
         T_est = fn(SE3.identity())
         assert float(jnp.linalg.norm(T_est.t - T_gt.t)) < 0.01
