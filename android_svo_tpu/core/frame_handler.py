@@ -140,7 +140,8 @@ class FrameHandler:
     without threads: one `add_image` call = one tracked frame)."""
 
     def __init__(self, cam, cfg: SVOConfig = SVOConfig(),
-                 init_T_cw: Optional[SE3] = None, seed: int = 0):
+                 init_T_cw: Optional[SE3] = None, seed: int = 0,
+                 perf_mon=None):
         self.cam = cam
         self.cfg = cfg
         self.dims = st.arena_dims(cfg, cam.width, cam.height)
@@ -150,6 +151,9 @@ class FrameHandler:
         self._key = jax.random.PRNGKey(seed)
         self._first = None          # (pyr, det) of the first frame
         self._n_fail = 0
+        # per-stage timing + per-frame trace (ref SVO_START/STOP_TIMER,
+        # frame_handler_base.cpp:43-70,126-132); None = no instrumentation
+        self.perf_mon = perf_mon
 
         self._jit_track = jax.jit(pipeline.make_track_frame(cfg, cam,
                                                             self.dims))
@@ -159,6 +163,14 @@ class FrameHandler:
             init_map_from_bootstrap, cam=cam, cfg=cfg, dims=self.dims))
         self._jit_ba = jax.jit(self._run_local_ba)
 
+    def reset(self):
+        """Restart from scratch keeping the compiled programs (ref
+        FrameHandlerBase::reset + resetAll, frame_handler_base.cpp:87-108)."""
+        self.stage = STAGE_FIRST_FRAME
+        self.vo = st.init_state(self.cfg, self.cam.width, self.cam.height)
+        self._first = None
+        self._n_fail = 0
+
     # -- stage bodies ---------------------------------------------------------
     def _pyr_det(self, img):
         pyr = build_pyramid(img, self.cfg.total_pyr_levels)
@@ -167,6 +179,21 @@ class FrameHandler:
         return pyr, det
 
     def add_image(self, img, timestamp: float = 0.0) -> TrackResult:
+        if self.perf_mon is None:
+            return self._add_image(img)
+        with self.perf_mon.timer("tot_time"):
+            res = self._add_image(img)
+        self.perf_mon.log("frame_id", int(self.vo.frame_id))
+        self.perf_mon.log("stage", self.stage)
+        self.perf_mon.log("result", res.result)
+        self.perf_mon.log("n_matches", res.n_matches)
+        self.perf_mon.log("n_edges", res.n_edges)
+        self.perf_mon.log("n_seeds", res.n_seeds)
+        self.perf_mon.log("n_points", res.n_points)
+        self.perf_mon.write_frame()
+        return res
+
+    def _add_image(self, img) -> TrackResult:
         img = jnp.asarray(img, jnp.float32)
         if self.stage == STAGE_FIRST_FRAME:
             return self._process_first(img)
@@ -177,8 +204,16 @@ class FrameHandler:
         return TrackResult(T_cw=self.init_T_cw, stage=self.stage,
                            result=pipeline.RES_NO_KEYFRAME)
 
+    def _timer(self, name):
+        import contextlib
+        if self.perf_mon is None:
+            return contextlib.nullcontext()
+        return self.perf_mon.timer(name)
+
     def _process_first(self, img) -> TrackResult:
-        pyr, det = self._jit_pyr_det(img)
+        with self._timer("pyramid_creation"):
+            pyr, det = self._jit_pyr_det(img)
+            jax.block_until_ready(det["px"])
         n = int(det["valid"].sum())
         if n >= self.cfg.init_min_kps:
             self._first = (pyr, det)
@@ -245,15 +280,22 @@ class FrameHandler:
         was_reloc = self.stage == STAGE_RELOCALIZING
         if was_reloc:
             self._prepare_relocalization()
-        self.vo, out = self._jit_track(self.vo, img)
-        result = int(out["result"])
+        # the fused step covers pyramid_creation / sparse_img_align /
+        # reproject / feature_align / pose_optimizer / point_optimizer;
+        # host-side it is ONE dispatch (stage attribution inside it comes
+        # from the jax.named_scope annotations + device traces)
+        with self._timer("fused_track_dispatch"):
+            self.vo, out = self._jit_track(self.vo, img)
+            result = int(out["result"])
         if was_reloc and int(out["n_tracked"]) <= self.cfg.reloc_min_tracked:
             # relocalization accept gate: sparse alignment against the
             # closest keyframe must track >30 features before resuming
             # (ref relocalizeFrame, frame_handler_mono.cpp:331-347)
             result = pipeline.RES_FAILURE
         if result == pipeline.RES_IS_KEYFRAME and self.cfg.loba_n_iter > 0:
-            self.vo = self._jit_ba(self.vo)
+            with self._timer("local_ba"):
+                self.vo = self._jit_ba(self.vo)
+                jax.block_until_ready(self.vo.kfs.q_kw)
         if result == pipeline.RES_FAILURE:
             self._n_fail += 1
             if was_reloc or self._n_fail >= 2:

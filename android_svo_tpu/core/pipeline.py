@@ -313,9 +313,12 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
     """Build the jitted `track_frame(vo, img) -> (vo, out)` closure."""
 
     def track_frame(vo: st.VOState, img: jnp.ndarray):
+        # jax.named_scope = the reference's SVO_START/STOP_TIMER points
+        # (frame_handler_base.cpp:46-55): stage attribution in device traces
         dtype = img.dtype
-        cur_pyr = build_pyramid(img, cfg.total_pyr_levels)
-        cur_stack = stack_from_pyramid(cur_pyr)
+        with jax.named_scope("pyramid_creation"):
+            cur_pyr = build_pyramid(img, cfg.total_pyr_levels)
+            cur_stack = stack_from_pyramid(cur_pyr)
 
         # STEP 0: motion model = last frame pose (ref :175)
         T_cw0 = vo.last.T_fw
@@ -327,21 +330,24 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
         depth_last = jnp.linalg.norm(p_w - last_cam_pos, axis=-1)
         has_pt = last.ftr_valid & (last.ftr_point >= 0) & (
             vo.points.valid[last.ftr_point])
-        T_cur_last, n_tracked, _ = sparse_img_align(
-            last.stack, cur_stack, cam, SE3.identity(dtype=dtype),
-            last.ftr_px, last.ftr_f, depth_last, has_pt, cfg)
-        T_cw = T_cur_last.compose(last.T_fw)
+        with jax.named_scope("sparse_img_align"):
+            T_cur_last, n_tracked, _ = sparse_img_align(
+                last.stack, cur_stack, cam, SE3.identity(dtype=dtype),
+                last.ftr_px, last.ftr_f, depth_last, has_pt, cfg)
+            T_cw = T_cur_last.compose(last.T_fw)
 
         # STEP 2: map reprojection + feature alignment (ref :203-216)
-        feats, points2, n_matches = reproject_map(
-            vo, cur_stack, T_cw, cam, cfg, dims)
-        vo = vo.replace(points=points2)
+        with jax.named_scope("reproject"):
+            feats, points2, n_matches = reproject_map(
+                vo, cur_stack, T_cw, cam, cfg, dims)
+            vo = vo.replace(points=points2)
 
         # STEP 3: pose optimization (ref :226-233)
         p_w = vo.points.pos[jnp.maximum(feats["point"], 0)]
-        T_cw_opt, inlier, n_edges, cov, _, _ = optimize_pose(
-            T_cw, p_w, feats["f"], feats["level"], feats["valid"],
-            cam.errorMultiplier2(), cfg)
+        with jax.named_scope("pose_optimizer"):
+            T_cw_opt, inlier, n_edges, cov, _, _ = optimize_pose(
+                T_cw, p_w, feats["f"], feats["level"], feats["valid"],
+                cam.errorMultiplier2(), cfg)
         feats["valid"] = feats["valid"] & inlier
         feats["point"] = jnp.where(feats["valid"], feats["point"], -1)
 
@@ -352,9 +358,11 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
         obs_kf = vo.points.obs_kf[slots]
         obs_ok = (obs_kf >= 0) & vo.kfs.valid[jnp.maximum(obs_kf, 0)]
         ks = jnp.maximum(obs_kf, 0)
-        pos_new, _ = optimize_points(
-            vo.points.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
-            vo.points.obs_f[slots], obs_ok, sel, cfg.structureoptim_n_iter)
+        with jax.named_scope("point_optimizer"):
+            pos_new, _ = optimize_points(
+                vo.points.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
+                vo.points.obs_f[slots], obs_ok, sel,
+                cfg.structureoptim_n_iter)
         pts = vo.points
         pts = pts.replace(
             pos=pts.pos.at[slots].set(
@@ -374,7 +382,8 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
             t=jnp.where(failure, vo.last.t_fw, T_cw_opt.t))
 
         # STEP 5: depth-filter update with this frame (mapping-thread work)
-        vo = update_seeds(vo, cur_stack, T_final, cam, cfg)
+        with jax.named_scope("depth_filter"):
+            vo = update_seeds(vo, cur_stack, T_final, cam, cfg)
 
         # STEP 6: keyframe decision + insertion (ref :258-312)
         xyz_cur = T_final.apply(vo.points.pos[jnp.maximum(feats["point"], 0)])

@@ -37,6 +37,7 @@ in interpret mode (tests/test_patch_pallas.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from android_svo_tpu.ops import interp
+
+# debug escape hatch: PALLAS_DISABLE=sample,scan,align forces the pure-JAX
+# fallback for the named kernels (trace-time; used by scripts/probe_fault.py)
+_DISABLED = frozenset(
+    s for s in os.environ.get("PALLAS_DISABLE", "").split(",") if s)
 
 WIN_R = 24      # aligned window rows: 8-aligned start + <=7 remainder + 11
                 # crop rows must fit (7 + 11 <= 24; 16 would wrap)
@@ -201,7 +207,7 @@ def sample_patches(stack, lvl, uv, half: int, grad: bool = False,
     if interpret:
         with pltpu.force_tpu_interpret_mode():
             return _sample_pallas(stack, lvl, uv, half, grad)
-    if _auto_backend(use_pallas):
+    if _auto_backend(use_pallas) and "sample" not in _DISABLED:
         return _sample_pallas(stack, lvl, uv, half, grad)
     return _sample_fallback(stack, lvl, uv, half, grad)
 
@@ -362,7 +368,7 @@ def epi_scan(stack, lvl, uv_a, uv_b, ref_patch, n_steps_max: int,
         with pltpu.force_tpu_interpret_mode():
             return _scan_pallas(stack, lvl, uv_a, uv_b, n_steps_each, rp,
                                 n_steps_max, half, h, w)
-    if _auto_backend(use_pallas):
+    if _auto_backend(use_pallas) and "scan" not in _DISABLED:
         return _scan_pallas(stack, lvl, uv_a, uv_b, n_steps_each, rp,
                             n_steps_max, half, h, w)
     return _scan_fallback(stack, lvl, uv_a, uv_b, n_steps_each, rp,
@@ -565,7 +571,7 @@ def align_iclk(stack, lvl, ref_patch, ref_dx, ref_dy, init_uv, valid,
             uv, mean, step2 = _align_pallas(
                 stack, lvl, ref_patch, ref_dx, ref_dy, hinv, init_uv, valid,
                 n_iter, p // 2, h, w)
-    elif _auto_backend(use_pallas):
+    elif _auto_backend(use_pallas) and "align" not in _DISABLED:
         uv, mean, step2 = _align_pallas(
             stack, lvl, ref_patch, ref_dx, ref_dy, hinv, init_uv, valid,
             n_iter, p // 2, h, w)

@@ -164,6 +164,34 @@ def _cross_to_dense(S_red, NC):
     return jnp.transpose(S_red, (0, 2, 1, 3)).reshape(NC * 6, NC * 6)
 
 
+def make_sharded_ba(cfg: SVOConfig, focal, mesh):
+    """`local_ba` jitted over a mesh with the landmark axis sharded on "map".
+
+    Every per-landmark input (pos, point_valid, obs_kf, obs_f) is split
+    across the MAP axis; keyframe poses and the core-window selection are
+    replicated.  Under these shardings XLA turns the Schur reductions
+    (`S_red`/`rhs_red` einsums over `p`, ba.py:116-127) into per-shard
+    partial contractions + a psum over ICI — the distributed local BA of
+    SURVEY.md §7 L6.  Returns fn(pos, valid, obs_kf, obs_f, q_kw, t_kw,
+    core, fixed) -> (q', t', pos', chi2) with pos' sharded like pos.
+    """
+    import functools
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from android_svo_tpu.parallel.mesh import MAP_AXIS
+
+    def shard_p(ndim):
+        return NamedSharding(mesh, P(MAP_AXIS, *([None] * (ndim - 1))))
+
+    rep = NamedSharding(mesh, P())
+    in_sh = (shard_p(2), shard_p(1), shard_p(2), shard_p(3),
+             rep, rep, rep, rep)
+    out_sh = (rep, rep, shard_p(2), rep)
+    fn = functools.partial(local_ba, focal=focal, cfg=cfg)
+    return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+
+
 def select_core_keyframes(q_kw, t_kw, kf_valid, T_cw: SE3, n_core: int):
     """The n_core closest valid keyframes to the current camera
     (ref Map::getCloseKeyframes + overlap sort, reprojector.cpp:82-87).

@@ -17,6 +17,8 @@ in_shardings/out_shardings; XLA inserts the all-gathers/psums.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -25,6 +27,57 @@ from android_svo_tpu.core import state as st
 
 DATA_AXIS = "data"
 MAP_AXIS = "map"
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host process-group wiring (`jax.distributed.initialize`).
+
+    The reference is single-process (SURVEY.md §2c); the TPU-native
+    multi-host story is one JAX process per host, meshed over ICI within a
+    slice and DCN across hosts.  Args fall back to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); on TPU
+    pods all three are auto-detected and may stay None.  Returns True when
+    a multi-process group was initialized, False for the single-process
+    no-op (so callers can run the same script on one host).
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    on_tpu_pod = jax.default_backend() == "tpu" and (
+        coordinator_address is None and num_processes is None)
+    if not on_tpu_pod and (coordinator_address is None
+                           or (num_processes or 1) <= 1):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def make_multihost_mesh(data: int | None = None) -> Mesh:
+    """(data, map) mesh over ALL processes' devices, host-major.
+
+    Layout policy: the "data" axis (independent sequences — no collectives
+    between its shards) spans hosts, so DCN carries nothing hot; the "map"
+    axis (seed/landmark/BA-landmark collectives: psum/all_gather) stays
+    within a host's ICI domain.  With one host this degenerates to
+    `make_mesh`.
+    """
+    n_hosts = jax.process_count()
+    per_host = jax.local_device_count()
+    if data is None:
+        data = n_hosts
+    # global device order from jax.devices() is process-major already;
+    # reshape host-major so "map" never crosses a host boundary
+    assert (n_hosts * per_host) % data == 0
+    arr = np.array(jax.devices()).reshape(data,
+                                          (n_hosts * per_host) // data)
+    return Mesh(arr, (DATA_AXIS, MAP_AXIS))
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,

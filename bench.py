@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def main():
@@ -30,7 +29,38 @@ def main():
     ap.add_argument("--step", type=float, default=0.02)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny/fast config for plumbing checks")
+    ap.add_argument("--inner", action="store_true",
+                    help="run the bench in THIS process (no retry wrapper)")
     args = ap.parse_args()
+
+    if not args.inner:
+        # The axon TPU worker occasionally crashes mid-run ("TPU worker
+        # process crashed or restarted ... kernel fault") on runs that pass
+        # identically on retry (verified: identical program+data both
+        # completes and faults).  Isolate each attempt in a subprocess so a
+        # flaky worker death doesn't zero out the measurement.
+        last = None
+        for attempt in range(3):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"]
+                + sys.argv[1:],
+                capture_output=True, text=True)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            last = (proc.returncode, proc.stdout[-500:], proc.stderr[-2000:])
+            print(f"# bench attempt {attempt + 1} failed (rc={last[0]}); "
+                  "retrying", file=sys.stderr, flush=True)
+        print(last[2], file=sys.stderr)
+        sys.exit(1)
+
+    run_bench(args)
+
+
+def run_bench(args):
+    import jax
+    import numpy as np
 
     if args.smoke:
         args.frames = 12
@@ -51,6 +81,8 @@ def main():
         cfg = cfg.replace(max_n_kfs=8, max_points=2048, max_seeds=1024,
                           ransac_n_trials=128, img_align_n_iter=15)
 
+    from android_svo_tpu.utils.profiling import PerformanceMonitor
+
     cam = synthetic.default_camera(args.width, args.height)
     tex = synthetic.make_texture(jax.random.PRNGKey(0), 2048)
 
@@ -68,35 +100,68 @@ def main():
         imgs.append(rj(p.q, p.t))
     jax.block_until_ready(imgs[-1])
 
+    # per-frame trace with the reference's timer names
+    # (frame_handler_base.cpp:43-70,126-132)
+    pm = PerformanceMonitor(trace_path="TRACE_bench.jsonl")
     handler = fh.FrameHandler(cam, cfg)
 
-    est, gt = [], []
-    n_fail = 0
-    t_track = 0.0
-    n_timed = 0
-    for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
-        timed = handler.stage == fh.STAGE_DEFAULT_FRAME and i > 8
-        t0 = time.perf_counter()
-        res = handler.add_image(img, i * 0.05)
-        if timed:
-            t_track += time.perf_counter() - t0
-            n_timed += 1
-        if handler.stage == fh.STAGE_DEFAULT_FRAME:
-            est.append(np.asarray(res.T_cw.inverse().t))
-            gt.append(np.asarray(pose_gt.t))
-            if res.result == pipeline.RES_FAILURE:
-                n_fail += 1
+    def run_sequence():
+        est, gt = [], []
+        n_fail = 0
+        t_track = 0.0
+        n_timed = 0
+        for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
+            timed = handler.stage == fh.STAGE_DEFAULT_FRAME and i > 8
+            t0 = time.perf_counter()
+            res = handler.add_image(img, i * 0.05)
+            if timed:
+                t_track += time.perf_counter() - t0
+                n_timed += 1
+            if handler.stage == fh.STAGE_DEFAULT_FRAME:
+                est.append(np.asarray(res.T_cw.inverse().t))
+                gt.append(np.asarray(pose_gt.t))
+                if res.result == pipeline.RES_FAILURE:
+                    n_fail += 1
+        return est, gt, n_fail, t_track, n_timed
+
+    # warmup pass: compiles every program (track step, detection, BA);
+    # the timed pass below then measures steady-state throughput
+    run_sequence()
+    handler.reset()
+    handler.perf_mon = pm
+    est, gt, n_fail, t_track, n_timed = run_sequence()
 
     fps = n_timed / t_track if t_track > 0 else 0.0
     ate = ate_rmse(np.array(est), np.array(gt)) if len(est) >= 4 else -1.0
+
+    # BA iterations/s (BASELINE.md primary metric): time the jitted local-BA
+    # program over the populated keyframe window
+    ba_iter_per_s = 0.0
+    if bool(jax.device_get(handler.vo.kfs.valid.any())):
+        ba = handler._jit_ba
+        out = ba(handler.vo)
+        jax.block_until_ready(out.kfs.q_kw)
+        n_rep = 5
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = ba(handler.vo)
+        jax.block_until_ready(out.kfs.q_kw)
+        dt = (time.perf_counter() - t0) / n_rep
+        ba_iter_per_s = max(cfg.loba_n_iter, 1) / dt
+
+    pm.close()
+    summary = pm.summary()
     print(json.dumps({
         "metric": "frames_per_second",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 200.0, 3),
         "ate_sim3": round(float(ate), 5),
+        "ba_iter_per_s": round(ba_iter_per_s, 1),
         "frames_timed": n_timed,
         "failures": n_fail,
+        "track_ms": {k: round(v["mean_ms"], 2)
+                     for k, v in summary.items() if v["count"] > 0},
         "device": str(jax.devices()[0]),
         "resolution": f"{args.width}x{args.height}",
     }))

@@ -66,6 +66,18 @@ class TestSparseAlign:
         assert float(jnp.linalg.norm(T_est.t)) < 1e-4
         assert float(chi2) < 1e-4
 
+    def test_lm_mode_recovers_motion(self):
+        """The Levenberg-Marquardt strategy (ref nlls_solver_impl.hpp:
+        103-229, off the live path there and here) must also converge."""
+        (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
+         T_gt) = setup_pair(dx=0.05, dy=0.02, drot=0.01)
+        T_est, n_tracked, _ = sparse_align.sparse_img_align(
+            ref_stack, cur_stack, cam, SE3.identity(), px, f, depth, valid,
+            cfg, method="lm")
+        t_err = float(jnp.linalg.norm(T_est.t - T_gt.t))
+        assert int(n_tracked) > 100
+        assert t_err < 0.01, t_err
+
     def test_jit_compiles(self):
         (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
          T_gt) = setup_pair()
