@@ -48,9 +48,11 @@ def update_seeds(vo: st.VOState, cur_stack, T_cw: SE3, cam,
     seeds = vo.seeds
     dtype = seeds.mu.dtype
 
-    # pose of cur in each seed's keyframe: T_cur_ref = T_cw o T_wk
-    T_kw = SE3(q=vo.kfs.q_kw[seeds.kf], t=vo.kfs.t_kw[seeds.kf])
-    T_cur_ref = T_cw.compose(T_kw.inverse())
+    # pose of cur in each seed's keyframe: T_cur_ref = T_cw o T_wk —
+    # composed once per KEYFRAME (K of them), gathered per seed
+    T_cur_ref_k = T_cw.compose(
+        SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())
+    T_cur_ref = SE3(q=T_cur_ref_k.q[seeds.kf], t=T_cur_ref_k.t[seeds.kf])
 
     # age-out (ref :258: seed batch older than `seed_max_kf_age` keyframes)
     too_old = (vo.kf_batch.astype(jnp.int32) - seeds.batch_id

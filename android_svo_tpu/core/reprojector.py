@@ -56,7 +56,10 @@ def closest_view_obs(pts: st.PointArena, kfs: st.KeyframeArena,
         jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-9)
 
     ks = jnp.clip(pts.obs_kf, 0, kfs.q_kw.shape[0] - 1)      # (P,O)
-    obs_cam_pos = SE3(q=kfs.q_kw[ks], t=kfs.t_kw[ks]).inverse().t  # (P,O,3)
+    # camera centers once per KEYFRAME (K), gathered per observation —
+    # not an SE3 inverse per (P,O) entry
+    kf_centers = SE3(q=kfs.q_kw, t=kfs.t_kw).inverse().t     # (K,3)
+    obs_cam_pos = kf_centers[ks]                             # (P,O,3)
     dir_obs = pts.pos[:, None, :] - obs_cam_pos
     dir_obs = dir_obs / jnp.maximum(
         jnp.linalg.norm(dir_obs, axis=-1, keepdims=True), 1e-9)
@@ -186,6 +189,7 @@ def _kf_cam_pos(kfs: st.KeyframeArena, slots: jnp.ndarray) -> jnp.ndarray:
 
 def _relative_pose(T_cw: SE3, kfs: st.KeyframeArena,
                    slots: jnp.ndarray) -> SE3:
-    """T_cur_ref = T_cw o T_wk = T_cw o (T_kw)^-1, batched over slots."""
-    T_kw = SE3(q=kfs.q_kw[slots], t=kfs.t_kw[slots])
-    return T_cw.compose(T_kw.inverse())
+    """T_cur_ref = T_cw o T_wk = T_cw o (T_kw)^-1, composed once per
+    keyframe and gathered per slot."""
+    T_k = T_cw.compose(SE3(q=kfs.q_kw, t=kfs.t_kw).inverse())
+    return SE3(q=T_k.q[slots], t=T_k.t[slots])

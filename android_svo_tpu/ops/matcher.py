@@ -169,7 +169,7 @@ def align1d_stack(stack, lvl, ref_patch, ref_dx, ref_dy, direction,
         del it
         uv, mean = carry
         ok = valid & inb(uv)
-        cur = pp.sample_patches(stack, lvl, uv, half,
+        cur = pp.sample_patches(stack, lvl, uv, half, valid=ok,
                                 use_pallas=use_pallas).reshape(n, area)
         r = cur - T + mean[:, None]
         g = jnp.einsum("nai,na->ni", J, r)
@@ -209,6 +209,8 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
     A = get_warp_matrix_affine(cam, px_ref, f_ref, depth_ref, T_cur_ref,
                                level_ref, halfpatch)
     n_levels = min(cur_stack.shape[0], cfg.max_search_level + 1)
+    # only the searchable levels enter the (VMEM-resident) kernel stack
+    cur_stack = cur_stack[:n_levels]
     search_level = get_best_search_level(A, n_levels - 1)
     patch_b, ok_warp = warp_affine_stack(
         kf_stack, kf_idx, A, px_ref, level_ref, search_level,
@@ -254,6 +256,8 @@ def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
     use_pallas = pp.cfg_use_pallas(cfg)
     h, w = cam.height, cam.width
     n_levels = min(cur_stack.shape[0], cfg.max_search_level + 1)
+    # only the searchable levels enter the (VMEM-resident) kernel stack
+    cur_stack = cur_stack[:n_levels]
 
     # endpoints of the epipolar segment on the cur unit plane
     uv_A = project2d(T_cur_ref.apply(f_ref * d_min[..., None]))
@@ -282,6 +286,16 @@ def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
     n_steps = (epi_len / 0.7).astype(jnp.int32) + 1
     too_long = n_steps > Kmax
 
+    # short-segment case: skip the scan, align directly from the segment
+    # midpoint (ref matcher.cpp:257-276: epi_length < 2.0)
+    short = epi_len < 2.0
+
+    # seeds that are dead, unwarpable, short, or over-long get ZERO scan
+    # steps — the kernel skips them entirely (steady-state arenas are mostly
+    # dead slots; the reference's per-seed loop only visits live seeds)
+    scans = valid & ok_warp & ~short & ~too_long
+    n_steps = jnp.where(scans, jnp.clip(n_steps, 2, Kmax), 0)
+
     uv_a_l = px_A / scale_s[:, None]    # search-level coords of both ends
     uv_b_l = px_B / scale_s[:, None]
     t_best, score_best = pp.epi_scan(
@@ -293,9 +307,6 @@ def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
     # acceptance threshold (ref patch_score.h:46: 2000 * area)
     thresh = cfg.zmssd_threshold_factor * area
 
-    # short-segment case: skip the scan, align directly from the segment
-    # midpoint (ref matcher.cpp:257-276: epi_length < 2.0)
-    short = epi_len < 2.0
     px_start0 = jnp.where(short[:, None], 0.5 * (px_A + px_B), px_best0)
     score_ok = short | (score_best < thresh)
 

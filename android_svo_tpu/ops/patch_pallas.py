@@ -51,11 +51,18 @@ from android_svo_tpu.ops import interp
 _DISABLED = frozenset(
     s for s in os.environ.get("PALLAS_DISABLE", "").split(",") if s)
 
-WIN_R = 24      # aligned window rows: 8-aligned start + <=7 remainder + 11
-                # crop rows must fit (7 + 11 <= 24; 16 would wrap)
+WIN_R = 24      # aligned window rows: 8-aligned start + <=7 remainder + s+1
+                # crop rows must fit; kernels use 16 when the sample grid
+                # s <= 9 fits (7 + 9 <= 16) and 24 only for s = 10 (8x8+grad)
 WIN_C = 256     # aligned window cols   (lane multiple x2: roll-safe)
 CROP = 11       # static crop after rolls; supports sample grids <= 10 ints
 BLK = 128       # features per pallas program
+
+
+def _win_rows(s: int) -> int:
+    """Smallest 8-multiple window that fits a <=7-row alignment remainder
+    plus the (s+1)-row bilinear crop."""
+    return 16 if s + 1 + 7 <= 16 else WIN_R
 
 
 def _auto_backend(use_pallas) -> bool:
@@ -81,8 +88,8 @@ def _pad_rows(x: jnp.ndarray, n: int):
 # patch sampling
 # ---------------------------------------------------------------------------
 
-def _load_window(stack_ref, l, yi, xi, h, w):
-    """Aligned (WIN_R, WIN_C) window whose top-left maps to (yi, xi) after
+def _load_window(stack_ref, l, yi, xi, h, w, rows: int = WIN_R):
+    """Aligned (rows, WIN_C) window whose top-left maps to (yi, xi) after
     the two rolls.  Requires 0 <= yi <= h-12, 0 <= xi <= w-12.
 
     NOTE: the roll shifts are expressed as POSITIVE amounts mod the window
@@ -91,10 +98,10 @@ def _load_window(stack_ref, l, yi, xi, h, w):
     hardware (verified v5e; the interpreter is correct either way) — the
     positive-mod form compiles correctly on both.
     """
-    ya = pl.multiple_of(jnp.minimum((yi // 8) * 8, h - WIN_R), 8)
+    ya = pl.multiple_of(jnp.minimum((yi // 8) * 8, h - rows), 8)
     xa = pl.multiple_of(jnp.minimum((xi // 128) * 128, w - WIN_C), 128)
-    win = stack_ref[l, pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
-    win = pltpu.roll(win, (WIN_R - (yi - ya)) % WIN_R, 0)
+    win = stack_ref[l, pl.ds(ya, rows), pl.ds(xa, WIN_C)]
+    win = pltpu.roll(win, (rows - (yi - ya)) % rows, 0)
     win = pltpu.roll(win, (WIN_C - (xi - xa)) % WIN_C, 1)
     return win
 
@@ -114,28 +121,38 @@ def _make_sample_kernel(half: int, grad: bool):
     p = 2 * half
     s = p + 2 if grad else p                 # sampled grid (incl. grad border)
     border = 1 if grad else 0
+    rows = _win_rows(s)
 
-    def kernel(lvl_ref, uv_ref, stack_ref, *outs):
+    def kernel(lvl_ref, uv_ref, valid_ref, stack_ref, *outs):
         _, h, w = stack_ref.shape
 
         def one(i, _):
-            l = jnp.clip(lvl_ref[i, 0], 0, stack_ref.shape[0] - 1)
-            x = uv_ref[i, 0]
-            y = uv_ref[i, 1]
-            x0f = jnp.floor(x)
-            y0f = jnp.floor(y)
-            wx = x - x0f
-            wy = y - y0f
-            xi = jnp.clip(x0f.astype(jnp.int32) - half - border, 0, w - 12)
-            yi = jnp.clip(y0f.astype(jnp.int32) - half - border, 0, h - 12)
-            win = _load_window(stack_ref, l, yi, xi, h, w)
-            patch = _bilinear_crop(win, wx, wy, s)
-            if grad:
-                outs[0][i] = patch[1:-1, 1:-1]
-                outs[1][i] = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
-                outs[2][i] = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
-            else:
-                outs[0][i] = patch
+            # dead slots skip the window load entirely and emit zeros
+            for o in outs:
+                o[i] = jnp.zeros((p, p), o.dtype)
+
+            @pl.when(valid_ref[i, 0] > 0)
+            def _live():
+                l = jnp.clip(lvl_ref[i, 0], 0, stack_ref.shape[0] - 1)
+                x = uv_ref[i, 0]
+                y = uv_ref[i, 1]
+                x0f = jnp.floor(x)
+                y0f = jnp.floor(y)
+                wx = x - x0f
+                wy = y - y0f
+                xi = jnp.clip(x0f.astype(jnp.int32) - half - border, 0,
+                              w - 12)
+                yi = jnp.clip(y0f.astype(jnp.int32) - half - border, 0,
+                              h - 12)
+                win = _load_window(stack_ref, l, yi, xi, h, w, rows)
+                patch = _bilinear_crop(win, wx, wy, s)
+                if grad:
+                    outs[0][i] = patch[1:-1, 1:-1]
+                    outs[1][i] = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+                    outs[2][i] = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+                else:
+                    outs[0][i] = patch
+
             return 0
 
         jax.lax.fori_loop(0, BLK, one, 0)
@@ -144,12 +161,17 @@ def _make_sample_kernel(half: int, grad: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("half", "grad"))
-def _sample_pallas(stack, lvl, uv, half: int, grad: bool):
+def _sample_pallas(stack, lvl, uv, valid, half: int, grad: bool):
     n = uv.shape[0]
     npad = ((n + BLK - 1) // BLK) * BLK
     lvl_p = _pad_rows(lvl.astype(jnp.int32), npad)
     uv_p = _pad_rows(jnp.nan_to_num(uv, nan=0.0, posinf=0.0, neginf=0.0),
                      npad)
+    if valid is None:
+        valid_p = jnp.concatenate(
+            [jnp.ones((n,), jnp.int32), jnp.zeros((npad - n,), jnp.int32)])
+    else:
+        valid_p = _pad_rows(valid.astype(jnp.int32), npad)
     p = 2 * half
     L, h, w = stack.shape
     n_out = 3 if grad else 1
@@ -166,12 +188,14 @@ def _sample_pallas(stack, lvl, uv, half: int, grad: bool):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BLK, 2), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((L, h, w), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-    )(lvl_p[:, None], uv_p, stack)
+    )(lvl_p[:, None], uv_p, valid_p[:, None], stack)
     outs = tuple(o[:n] for o in outs)
     return outs if grad else outs[0]
 
@@ -197,18 +221,21 @@ def _sample_fallback(stack, lvl, uv, half: int, grad: bool):
 
 
 def sample_patches(stack, lvl, uv, half: int, grad: bool = False,
-                   use_pallas=None, interpret: bool = False):
+                   valid=None, use_pallas=None, interpret: bool = False):
     """Bilinear (2*half)^2 patches (optionally with central-difference
     gradients) at per-feature pyramid level `lvl` and level-coords `uv`.
 
     stack: (L, Hp, Wp) padded pyramid (ops/pyramid.build_stack).
+    valid: optional (N,) bool — False slots skip the load on the Pallas
+      path and emit zeros (callers mask their outputs anyway; the fallback
+      still computes every slot, so compare only valid slots across paths).
     Returns (N, P, P) or a (patch, dx, dy) triple when grad=True.
     """
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            return _sample_pallas(stack, lvl, uv, half, grad)
+            return _sample_pallas(stack, lvl, uv, valid, half, grad)
     if _auto_backend(use_pallas) and "sample" not in _DISABLED:
-        return _sample_pallas(stack, lvl, uv, half, grad)
+        return _sample_pallas(stack, lvl, uv, valid, half, grad)
     return _sample_fallback(stack, lvl, uv, half, grad)
 
 
@@ -218,6 +245,7 @@ def sample_patches(stack, lvl, uv, half: int, grad: bool = False,
 
 def _make_scan_kernel(n_steps_max: int, half: int, h_true: int, w_true: int):
     p = 2 * half
+    rows = _win_rows(p)
 
     def kernel(lvl_ref, ab_ref, ns_ref, stack_ref, ref_ref, out_ref):
         _, h, w = stack_ref.shape
@@ -230,7 +258,11 @@ def _make_scan_kernel(n_steps_max: int, half: int, h_true: int, w_true: int):
             ay = ab_ref[i, 1]
             bx = ab_ref[i, 2]
             by = ab_ref[i, 3]
-            k = jnp.clip(ns_ref[i, 0], 2, n_steps_max)
+            # 0 steps = dead/skipped seed: the fori_loop below runs zero
+            # iterations and the window loads never execute (the arena is
+            # mostly dead slots in steady state — this is the difference
+            # between scanning 2048 seeds and scanning the live few hundred)
+            k = jnp.clip(ns_ref[i, 0], 0, n_steps_max)
             rp = ref_ref[i]                                  # (p, p) zero-mean
             inv_steps = 1.0 / jnp.maximum(k - 1, 1).astype(jnp.float32)
 
@@ -245,7 +277,7 @@ def _make_scan_kernel(n_steps_max: int, half: int, h_true: int, w_true: int):
                 wy = y - y0f
                 xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, w - 12)
                 yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, h - 12)
-                win = _load_window(stack_ref, l, yi, xi, h, w)
+                win = _load_window(stack_ref, l, yi, xi, h, w, rows)
                 cur = _bilinear_crop(win, wx, wy, p)
                 cm = jnp.sum(cur) * (1.0 / (p * p))
                 d = (cur - cm) - rp
@@ -311,7 +343,7 @@ def _scan_fallback(stack, lvl, uv_a, uv_b, n_steps_each, ref_patch_zm,
     p = 2 * half
     n = lvl.shape[0]
     dtype = uv_a.dtype
-    k = jnp.clip(n_steps_each.astype(jnp.int32), 2, n_steps_max)  # (N,)
+    k = jnp.clip(n_steps_each.astype(jnp.int32), 0, n_steps_max)  # (N,)
     js = jnp.arange(n_steps_max, dtype=dtype)                # (K,)
     ts = js[None, :] / jnp.maximum(k - 1, 1)[:, None].astype(dtype)
     live = js[None, :] < k[:, None].astype(dtype)            # (N, K)
@@ -382,6 +414,7 @@ def epi_scan(stack, lvl, uv_a, uv_b, ref_patch, n_steps_max: int,
 
 def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
     p = 2 * half
+    rows = _win_rows(p)
 
     def kernel(lvl_ref, uv_ref, valid_ref, hinv_ref, T_ref, gx_ref, gy_ref,
                stack_ref, out_ref):
@@ -392,64 +425,75 @@ def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
             wl = (w_true >> l).astype(jnp.float32)
             hl = (h_true >> l).astype(jnp.float32)
             ok0 = valid_ref[i, 0] > 0
-            T = T_ref[i]
-            gx = gx_ref[i]
-            gy = gy_ref[i]
             m = jnp.float32(half + 1)
 
-            def inb(u, v):
-                return ((u >= m) & (u < wl - 1 - m)
-                        & (v >= m) & (v < hl - 1 - m))
+            # dead slots skip the whole iteration loop (and every window
+            # load with it) — steady-state arenas are mostly invalid
+            out_ref[i, 0] = uv_ref[i, 0]
+            out_ref[i, 1] = uv_ref[i, 1]
+            out_ref[i, 2] = 0.0
+            out_ref[i, 3] = jnp.float32(jnp.inf)
 
-            def sample(u, v):
-                x0f = jnp.floor(u)
-                y0f = jnp.floor(v)
-                wx = u - x0f
-                wy = v - y0f
-                xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, ws - 12)
-                yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, hs - 12)
-                win = _load_window(stack_ref, l, yi, xi, hs, ws)
-                return _bilinear_crop(win, wx, wy, p)
+            @pl.when(ok0)
+            def _live():
+                T = T_ref[i]
+                gx = gx_ref[i]
+                gy = gy_ref[i]
 
-            def solve(r):
-                g0 = jnp.sum(gx * r)
-                g1 = jnp.sum(gy * r)
-                g2 = jnp.sum(r)
-                u0 = (hinv_ref[i, 0] * g0 + hinv_ref[i, 1] * g1
-                      + hinv_ref[i, 2] * g2)
-                u1 = (hinv_ref[i, 3] * g0 + hinv_ref[i, 4] * g1
-                      + hinv_ref[i, 5] * g2)
-                u2 = (hinv_ref[i, 6] * g0 + hinv_ref[i, 7] * g1
-                      + hinv_ref[i, 8] * g2)
-                return u0, u1, u2
+                def inb(u, v):
+                    return ((u >= m) & (u < wl - 1 - m)
+                            & (v >= m) & (v < hl - 1 - m))
 
-            def body(it, carry):
-                del it
-                u, v, mean = carry
-                ok = ok0 & inb(u, v)
+                def sample(u, v):
+                    x0f = jnp.floor(u)
+                    y0f = jnp.floor(v)
+                    wx = u - x0f
+                    wy = v - y0f
+                    xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, ws - 12)
+                    yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, hs - 12)
+                    win = _load_window(stack_ref, l, yi, xi, hs, ws, rows)
+                    return _bilinear_crop(win, wx, wy, p)
+
+                def solve(r):
+                    g0 = jnp.sum(gx * r)
+                    g1 = jnp.sum(gy * r)
+                    g2 = jnp.sum(r)
+                    u0 = (hinv_ref[i, 0] * g0 + hinv_ref[i, 1] * g1
+                          + hinv_ref[i, 2] * g2)
+                    u1 = (hinv_ref[i, 3] * g0 + hinv_ref[i, 4] * g1
+                          + hinv_ref[i, 5] * g2)
+                    u2 = (hinv_ref[i, 6] * g0 + hinv_ref[i, 7] * g1
+                          + hinv_ref[i, 8] * g2)
+                    return u0, u1, u2
+
+                def body(it, carry):
+                    del it
+                    u, v, mean = carry
+                    ok = inb(u, v)
+                    cur = sample(u, v)
+                    r = cur - T + mean
+                    u0, u1, u2 = solve(r)
+                    u = jnp.where(ok, u - u0, u)
+                    v = jnp.where(ok, v - u1, v)
+                    mean = jnp.where(ok, mean - u2, mean)
+                    return (u, v, mean)
+
+                u, v, mean = jax.lax.fori_loop(
+                    0, n_iter, body,
+                    (uv_ref[i, 0], uv_ref[i, 1], jnp.float32(0.0)))
+
+                # final step-size probe for the convergence flag (the extra
+                # evaluation after the loop, matching feature_align.align2d)
+                ok = inb(u, v)
                 cur = sample(u, v)
                 r = cur - T + mean
-                u0, u1, u2 = solve(r)
-                u = jnp.where(ok, u - u0, u)
-                v = jnp.where(ok, v - u1, v)
-                mean = jnp.where(ok, mean - u2, mean)
-                return (u, v, mean)
+                u0, u1, _ = solve(r)
+                step2 = jnp.where(ok, u0 * u0 + u1 * u1, jnp.inf)
+                out_ref[i, 0] = u
+                out_ref[i, 1] = v
+                out_ref[i, 2] = mean
+                out_ref[i, 3] = step2
 
-            u, v, mean = jax.lax.fori_loop(
-                0, n_iter, body,
-                (uv_ref[i, 0], uv_ref[i, 1], jnp.float32(0.0)))
-
-            # final step-size probe for the convergence flag (the extra
-            # evaluation after the loop, matching feature_align.align2d)
-            ok = ok0 & inb(u, v)
-            cur = sample(u, v)
-            r = cur - T + mean
-            u0, u1, _ = solve(r)
-            step2 = jnp.where(ok, u0 * u0 + u1 * u1, jnp.inf)
-            out_ref[i, 0] = u
-            out_ref[i, 1] = v
-            out_ref[i, 2] = mean
-            out_ref[i, 3] = step2
             return 0
 
         jax.lax.fori_loop(0, BLK, one, 0)

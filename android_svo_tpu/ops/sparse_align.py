@@ -122,7 +122,7 @@ def sparse_img_align(ref_stack, cur_stack, cam, T_cur_ref_init: SE3,
         ok_ref = (valid & interp.in_bounds(uv_ref, h, w, half + 1)
                   & (xyz_ref[..., 2] > 1e-3))
         patch_ref, gx, gy = pp.sample_patches(
-            ref_sub, zeros_lvl, uv_ref, half, grad=True,
+            ref_sub, zeros_lvl, uv_ref, half, grad=True, valid=ok_ref,
             use_pallas=use_pallas)                         # (N,P,P)
         patch_ref = patch_ref.reshape(n, patch_area)
         gx = gx.reshape(n, patch_area)
@@ -136,16 +136,15 @@ def sparse_img_align(ref_stack, cur_stack, cam, T_cur_ref_init: SE3,
         J = (gx[..., None] * (fx * jgeo[:, None, 0, :])
              + gy[..., None] * (fy * jgeo[:, None, 1, :]))
 
-        def body(it, carry):
-            del it
-            T_q, T_t, best_q, best_t, best_chi2, stopped, mu = carry
+        def body(carry):
+            it, T_q, T_t, best_q, best_t, best_chi2, stopped, mu = carry
             Tl = SE3(q=T_q, t=T_t)
             xyz_cur = Tl.apply(xyz_ref)
             uv_cur = cam.world2cam(xyz_cur) * scale
             ok = (ok_ref & (xyz_cur[..., 2] > 1e-3)
                   & interp.in_bounds(uv_cur, h, w, half + 1))
             patch_cur = pp.sample_patches(
-                cur_sub, zeros_lvl, uv_cur, half,
+                cur_sub, zeros_lvl, uv_cur, half, valid=ok,
                 use_pallas=use_pallas).reshape(n, patch_area)
             r = patch_cur - patch_ref                      # (N, A)
             r = jnp.where(ok[:, None], r, 0.0)
@@ -179,14 +178,20 @@ def sparse_img_align(ref_stack, cur_stack, cam, T_cur_ref_init: SE3,
             T_q2 = jnp.where(upd, T_new.q, T_q)
             T_t2 = jnp.where(upd, T_new.t, T_t)
             small = jnp.linalg.norm(dx) < cfg.img_align_eps
-            return (T_q2, T_t2, new_best_q, new_best_t, new_best_chi2,
-                    stop_now | small, mu)
+            return (it + 1, T_q2, T_t2, new_best_q, new_best_t,
+                    new_best_chi2, stop_now | small, mu)
 
-        init = (T.q, T.t, T.q, T.t, jnp.asarray(jnp.inf, dtype),
-                jnp.zeros((), bool), jnp.asarray(0.01, dtype))
-        out = jax.lax.fori_loop(0, cfg.img_align_n_iter, body, init)
-        T = SE3(q=out[2], t=out[3])                        # best-so-far
-        chi2_out = out[4]
+        # while_loop, not fori: GN typically converges (or rolls back) well
+        # before the 30-iteration cap, and each skipped iteration skips a
+        # whole sample-kernel dispatch — the latency-bound inner loop of the
+        # tracker (ref nlls_solver_impl.hpp:62-74 breaks the same way)
+        init = (jnp.zeros((), jnp.int32), T.q, T.t, T.q, T.t,
+                jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool),
+                jnp.asarray(0.01, dtype))
+        out = jax.lax.while_loop(
+            lambda c: (c[0] < cfg.img_align_n_iter) & ~c[6], body, init)
+        T = SE3(q=out[3], t=out[4])                        # best-so-far
+        chi2_out = out[5]
 
         if level == cfg.img_align_min_level:
             # count tracked features at the finest aligned level
