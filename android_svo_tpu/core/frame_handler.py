@@ -45,6 +45,7 @@ class TrackResult:
     n_edges: int = 0
     n_seeds: int = 0
     n_points: int = 0
+    t_wc: object = None          # camera center in world (device array)
 
 
 def _scatter_to_cells(px, f, level, point, valid, cfg, dims, w):
@@ -286,8 +287,13 @@ class FrameHandler:
         # from the jax.named_scope annotations + device traces)
         with self._timer("fused_track_dispatch"):
             self.vo, out = self._jit_track(self.vo, img)
-            result = int(out["result"])
-        if was_reloc and int(out["n_tracked"]) <= self.cfg.reloc_min_tracked:
+            # ONE host<->device sync for every scalar the stage machine
+            # needs (separate int() casts each cost a round-trip)
+            host = jax.device_get({k: out[k] for k in (
+                "result", "n_tracked", "n_matches", "n_edges", "n_seeds",
+                "n_points")})
+            result = int(host["result"])
+        if was_reloc and int(host["n_tracked"]) <= self.cfg.reloc_min_tracked:
             # relocalization accept gate: sparse alignment against the
             # closest keyframe must track >30 features before resuming
             # (ref relocalizeFrame, frame_handler_mono.cpp:331-347)
@@ -305,8 +311,9 @@ class FrameHandler:
             self.stage = STAGE_DEFAULT_FRAME
         return TrackResult(
             T_cw=out["T_cw"], stage=self.stage, result=result,
-            n_matches=int(out["n_matches"]), n_edges=int(out["n_edges"]),
-            n_seeds=int(out["n_seeds"]), n_points=int(out["n_points"]))
+            n_matches=int(host["n_matches"]), n_edges=int(host["n_edges"]),
+            n_seeds=int(host["n_seeds"]), n_points=int(host["n_points"]),
+            t_wc=out["t_wc"])
 
     def relocalize_frame_at_pose(self, kf_frame_id: int, T_cw_guess: SE3,
                                  img, timestamp: float = 0.0) -> TrackResult:

@@ -415,6 +415,7 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
                                      RES_NO_KEYFRAME))
         out = {
             "T_cw": T_final,
+            "t_wc": T_final.inverse().t,      # camera center (for eval logs)
             "result": result,
             "n_tracked": n_tracked,
             "n_matches": n_matches,

@@ -34,25 +34,37 @@ def main():
     args = ap.parse_args()
 
     if not args.inner:
-        # The axon TPU worker occasionally crashes mid-run ("TPU worker
-        # process crashed or restarted ... kernel fault") on runs that pass
-        # identically on retry (verified: identical program+data both
-        # completes and faults).  Isolate each attempt in a subprocess so a
-        # flaky worker death doesn't zero out the measurement.
-        last = None
-        for attempt in range(3):
+        # The axon TPU worker is flaky around long compiles: a process that
+        # compiles the big fused program often has its worker crash ("TPU
+        # worker process crashed or restarted ... kernel fault") or come
+        # back DEGRADED (identical dispatches run 10-25x slower; identical
+        # program+data both completes and faults across runs).  Isolate
+        # attempts in subprocesses: attempt 1 warms the persistent
+        # compilation cache even if it dies; later attempts skip the long
+        # compile and usually get a healthy session.  A degraded session
+        # (detected by noop-dispatch latency) reports itself with rc=3 and
+        # its result is kept only as a last resort.
+        degraded_line = None
+        for attempt in range(4):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"]
                 + sys.argv[1:],
                 capture_output=True, text=True)
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    print(line)
-                    return
-            last = (proc.returncode, proc.stdout[-500:], proc.stderr[-2000:])
-            print(f"# bench attempt {attempt + 1} failed (rc={last[0]}); "
-                  "retrying", file=sys.stderr, flush=True)
-        print(last[2], file=sys.stderr)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if line and proc.returncode == 0:
+                print(line)
+                return
+            if line:
+                degraded_line = line
+            print(f"# bench attempt {attempt + 1}: rc={proc.returncode} "
+                  f"{'(degraded session)' if line else '(crashed)'}",
+                  file=sys.stderr, flush=True)
+            last_err = proc.stderr[-2000:]
+        if degraded_line:
+            print(degraded_line)
+            return
+        print(last_err, file=sys.stderr)
         sys.exit(1)
 
     run_bench(args)
@@ -118,7 +130,8 @@ def run_bench(args):
                 t_track += time.perf_counter() - t0
                 n_timed += 1
             if handler.stage == fh.STAGE_DEFAULT_FRAME:
-                est.append(np.asarray(res.T_cw.inverse().t))
+                est.append(np.asarray(res.t_wc) if res.t_wc is not None
+                           else np.asarray(res.T_cw.inverse().t))
                 gt.append(np.asarray(pose_gt.t))
                 if res.result == pipeline.RES_FAILURE:
                     n_fail += 1
@@ -149,6 +162,19 @@ def run_bench(args):
         dt = (time.perf_counter() - t0) / n_rep
         ba_iter_per_s = max(cfg.loba_n_iter, 1) / dt
 
+    # session-health probe: a healthy axon session dispatches a trivial
+    # program in ~0.03 ms; degraded (reconnected) sessions take 10-25x
+    # longer and poison every measurement above
+    x = jax.numpy.ones((256, 256), jax.numpy.float32)
+    noop = jax.jit(lambda v: v * 2.0)
+    jax.block_until_ready(noop(x))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        y = noop(x)
+    jax.block_until_ready(y)
+    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+    degraded = dispatch_ms > 0.3
+
     pm.close()
     summary = pm.summary()
     print(json.dumps({
@@ -162,9 +188,13 @@ def run_bench(args):
         "failures": n_fail,
         "track_ms": {k: round(v["mean_ms"], 2)
                      for k, v in summary.items() if v["count"] > 0},
+        "dispatch_ms": round(dispatch_ms, 3),
+        "degraded_session": degraded,
         "device": str(jax.devices()[0]),
         "resolution": f"{args.width}x{args.height}",
     }))
+    if degraded:
+        sys.exit(3)
 
 
 if __name__ == "__main__":
