@@ -53,6 +53,9 @@ class SVOConfig:
 
     # ---- reprojector ---------------------------------------------------------
     max_n_kfs_reproject: int = 10       # project points from N closest KFs (ref reprojector.cpp:94)
+    reproject_n_retries: int = 1        # extra per-cell candidate tries after a failed
+                                        # match (ref reprojectCell quality-ordered chain,
+                                        # reprojector.cpp:181-241); 0 = single try
     quality_min_fts: int = 40           # tracking insufficient below (ref config.cpp)
     quality_max_drop_fts: int = 500     # one-frame drop => failure
     min_reproj_matches: int = 40        # ref frame_handler_mono.cpp:209
@@ -63,9 +66,11 @@ class SVOConfig:
     # ---- pose / structure optimization --------------------------------------
     poseoptim_n_iter: int = 10
     poseoptim_thresh: float = 2.0       # reprojection outlier threshold px (ref config)
+    poseoptim_method: str = "gn"        # "gn" | "lm" (ref nlls_solver strategies)
     min_pose_opt_edges: int = 20        # ref frame_handler_mono.cpp:233
     structureoptim_max_pts: int = 20    # points refined per frame (ref frame_handler_base.cpp:190)
     structureoptim_n_iter: int = 5
+    structureoptim_method: str = "gn"   # "gn" | "lm"
 
     # ---- relocalization --------------------------------------------------------
     reloc_min_tracked: int = 30         # accept gate: sparse-align tracked count

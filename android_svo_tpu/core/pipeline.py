@@ -364,7 +364,7 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
             pos_new, _ = optimize_points(
                 vo.points.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
                 vo.points.obs_f[slots], obs_ok, sel,
-                cfg.structureoptim_n_iter)
+                cfg.structureoptim_n_iter, method=cfg.structureoptim_method)
         pts = vo.points
         pts = pts.replace(
             pos=pts.pos.at[slots].set(

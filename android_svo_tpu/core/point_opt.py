@@ -16,14 +16,15 @@ import jax
 import jax.numpy as jnp
 
 from android_svo_tpu.geometry.camera import project2d
+from android_svo_tpu.geometry.linsolve import solve_spd
 from android_svo_tpu.geometry.se3 import SE3
 
 
 def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
                     obs_t_kw: jnp.ndarray, obs_f: jnp.ndarray,
                     obs_valid: jnp.ndarray, point_valid: jnp.ndarray,
-                    n_iter: int):
-    """Gauss-Newton on landmark positions.
+                    n_iter: int, method: str = "gn"):
+    """Gauss-Newton (or Levenberg-Marquardt) on landmark positions.
 
     Args:
       pos: (B, 3) world positions.
@@ -32,11 +33,15 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
       obs_f: (B, O, 3) measured unit bearings in those frames.
       obs_valid: (B, O) mask.
       point_valid: (B,) mask.
+      method: "gn" (reference live path, point.cpp:130-192) or "lm"
+        (per-point (1+mu) diagonal damping with grow-on-fail /
+        relax-on-success schedule, nlls_solver_impl.hpp:103-229).
 
     Returns (pos_new, chi2) with best-so-far rollback per point
     (ref point.cpp:166-173: revert if chi2 increases).
     """
     dtype = pos.dtype
+    lm = method == "lm"
     uv_meas = project2d(obs_f)                              # (B, O, 2)
     T = SE3(q=obs_q_kw, t=obs_t_kw)
 
@@ -50,7 +55,7 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
 
     def body(it, carry):
         del it
-        p, best_p, best_chi2 = carry
+        p, best_p, best_chi2, mu = carry
         chi2, e, xyz, ok, z = chi2_of(p)
         zi = 1.0 / z
         zi2 = zi * zi
@@ -65,16 +70,23 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
         J = jnp.where(ok[..., None, None], J, 0.0)
         H = jnp.einsum("boij,boik->bjk", J, J)
         g = jnp.einsum("boij,boi->bj", J, e)
+        if lm:
+            # per-point LM damping: H(i,i) *= 1+mu (nlls_solver_impl:150)
+            eye = jnp.eye(3, dtype=dtype)
+            H = H + mu[:, None, None] * (H * eye)
         H = H + 1e-8 * jnp.eye(3, dtype=dtype)
-        dx = jnp.linalg.solve(H, -g[..., None])[..., 0]
+        dx = solve_spd(H, -g)
         improved = chi2 < best_chi2
         best_p = jnp.where(improved[:, None], p, best_p)
         best_chi2 = jnp.where(improved, chi2, best_chi2)
+        if lm:
+            mu = jnp.where(improved, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
         p_new = jnp.where(point_valid[:, None], p + dx, p)
-        return (p_new, best_p, best_chi2)
+        return (p_new, best_p, best_chi2, mu)
 
-    init = (pos, pos, jnp.full(pos.shape[:1], jnp.inf, dtype))
-    p, best_p, best_chi2 = jax.lax.fori_loop(0, n_iter, body, init)
+    init = (pos, pos, jnp.full(pos.shape[:1], jnp.inf, dtype),
+            jnp.full(pos.shape[:1], 0.01, dtype))
+    p, best_p, best_chi2, _ = jax.lax.fori_loop(0, n_iter, body, init)
     chi2_last, *_ = chi2_of(p)
     use_last = chi2_last < best_chi2
     p_out = jnp.where(use_last[:, None], p, best_p)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry import robust
+from android_svo_tpu.geometry.linsolve import inv_spd, solve_spd
 from android_svo_tpu.geometry.camera import project2d
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.ops.sparse_align import _geo_jacobian
@@ -41,9 +42,15 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
       valid: (C,) mask.
       focal: scalar focal length (error scaling, ref errorMultiplier2).
 
+    Method: `cfg.poseoptim_method` — "gn" (reference live path) or "lm"
+    (the template's second strategy, nlls_solver_impl.hpp:103-229: the
+    normal-equation diagonal is scaled by (1+mu), mu growing on a failed
+    step and relaxing on success).
+
     Returns (T_fw, inlier_mask, n_inliers, cov, chi2_init, chi2_final).
     """
     dtype = p_w.dtype
+    lm = cfg.poseoptim_method == "lm"
     lvl_scale = 1.0 / (2.0 ** level.astype(dtype))          # (C,)
     uv_meas = project2d(f_meas)
 
@@ -64,7 +71,7 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
     chi2_init = jnp.sum(enorm0 * enorm0)
 
     def body(it, carry):
-        q, t, bq, bt, bchi2 = carry
+        q, t, bq, bt, bchi2, mu = carry
         # scale override at iteration 5 (ref pose_optimizer.cpp:74-75:
         # `if(iter == 5) scale = 0.85/errorMultiplier2()`) — re-seats the
         # Tukey scale at ~1px once the pose has roughly converged
@@ -79,20 +86,27 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
         Jw = J * w[:, None, None]
         H = jnp.einsum("cij,cik->jk", Jw, J)
         g = jnp.einsum("cij,ci->j", Jw, e)
+        if lm:
+            # LM: scale the diagonal by (1+mu) (ref nlls_solver_impl.hpp:150)
+            H = H + mu * jnp.diag(jnp.diag(H))
         H = H + 1e-6 * jnp.eye(6, dtype=dtype) * (jnp.trace(H) / 6.0 + 1.0)
-        dx = jnp.linalg.solve(H, -g)
+        dx = solve_spd(H, -g)
         T_new = SE3.exp(dx).compose(T).normalize()
         improved = chi2 < bchi2
         bq = jnp.where(improved, q, bq)
         bt = jnp.where(improved, t, bt)
         bchi2 = jnp.where(improved, chi2, bchi2)
+        if lm:
+            # grow damping on failure, relax on success
+            # (ref nlls_solver_impl.hpp:176-210)
+            mu = jnp.where(improved, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
         # keep stepping from the new estimate (rollback happens via best-so-far)
-        return (T_new.q, T_new.t, bq, bt, bchi2)
+        return (T_new.q, T_new.t, bq, bt, bchi2, mu)
 
     init = (T_fw_init.q, T_fw_init.t, T_fw_init.q, T_fw_init.t,
-            jnp.asarray(jnp.inf, dtype))
-    q, t, bq, bt, bchi2 = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body,
-                                            init)
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.01, dtype))
+    q, t, bq, bt, bchi2, _ = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body,
+                                               init)
     # post-loop evaluations use the final scale (overridden when >5 iters ran)
     scale = jnp.where(cfg.poseoptim_n_iter > 5,
                       jnp.asarray(0.85 / focal, dtype), scale)
@@ -117,7 +131,7 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
     Jw = J * w[:, None, None]
     H = jnp.einsum("cij,cik->jk", Jw, J)
     H = H + 1e-6 * jnp.eye(6, dtype=dtype) * (jnp.trace(H) / 6.0 + 1.0)
-    cov = jnp.linalg.inv(H)
+    cov = inv_spd(H)
     chi2_final = jnp.sum(enorm * enorm)
     return (T_out, inlier, jnp.sum(inlier).astype(jnp.int32), cov,
             chi2_init, chi2_final)

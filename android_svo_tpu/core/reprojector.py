@@ -11,10 +11,14 @@ Differences from the reference, by design:
     patch-source keyframe is among the `cfg.max_n_kfs_reproject` closest —
     the same working set, computed as one mask instead of a loop.
   * The reference's per-cell loop tries candidates in quality order until
-    one match succeeds (reprojectCell, :181-241); we pick the single
-    best-quality candidate per cell with a scatter-max and match all cells
-    in one batched alignment.  (One try per cell; the reference usually
-    succeeds on the first try too since cells are sorted.)
+    one match succeeds (reprojectCell, :181-241); we run a fixed-depth
+    retry chain: round r picks each unmatched cell's best not-yet-tried
+    candidate with a scatter-max and matches all such cells in one batched
+    alignment (`1 + cfg.reproject_n_retries` rounds total).  Every tried
+    candidate feeds the quality counters exactly like a reference try;
+    cells deeper than the chain depth record a failure where the reference
+    might still recover — beyond depth 2 that is rare (cells are
+    quality-sorted in both designs).
   * Quality bookkeeping (n_succ/n_fail promotion and deletion thresholds,
     :200-216) is applied as one masked update over the arena.
 
@@ -123,35 +127,69 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
                & vo.kfs.valid[jnp.clip(src_kf, 0, K - 1)]
                & src_in_close)
 
-    # ---- one candidate per cell (scatter-max by quality key) --------------
+    # ---- quality-ordered candidate chain per cell ---------------------------
+    # (ref reprojectCell, reprojector.cpp:181-241: sort candidates by
+    # quality, try in order until one matches).  Round r: scatter-max picks
+    # each still-unmatched cell's best untried candidate; one batched
+    # alignment serves every such cell.
     cid = cell_index(px, w, cfg.grid_size, n_cols)
     cid = jnp.clip(cid, 0, C - 1)
     slot_ids = jnp.arange(P, dtype=jnp.int32)
-    key = pts.ptype * P + slot_ids                          # quality-major
-    key = jnp.where(visible, key, -1)
-    cell_best = jnp.full((C,), -1, jnp.int32).at[cid].max(key)
-    winner = jnp.where(cell_best >= 0, cell_best % P, 0)    # (C,) point slot
-    cell_has = cell_best >= 0
+    key0 = jnp.where(visible, pts.ptype * P + slot_ids, -1)  # quality-major
 
-    # ---- batched direct match of the C winners ----------------------------
-    w_kf = src_kf[winner]
-    depth_ref = jnp.linalg.norm(
-        pts.pos[winner] - _kf_cam_pos(vo.kfs, w_kf), axis=-1)
-    T_cur_ref = _relative_pose(T_cw, vo.kfs, w_kf)
-    px_init = px[winner]
-    # the 60-degree gate: the cell still claims its try, but the match is
-    # forced to fail (the reference counts it via n_failed_reproj_)
-    try_ok = cell_has & angle_ok[winner]
-    px_cur, search_level, success = matcher.find_match_direct(
-        cur_stack, vo.kfs.stack, w_kf, cam,
-        src_px[winner], src_f[winner], depth_ref,
-        src_level[winner], T_cur_ref, px_init, try_ok, cfg)
+    T_cur_ref_all = T_cw.compose(
+        SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())         # per-KF, reused
+    kf_centers = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
 
-    # ---- quality counters (ref reprojector.cpp:200-216) --------------------
-    succ_add = jnp.zeros((P,), jnp.int32).at[winner].add(
-        success.astype(jnp.int32))
-    fail_add = jnp.zeros((P,), jnp.int32).at[winner].add(
-        (cell_has & ~success).astype(jnp.int32))
+    tried = jnp.zeros((P,), bool)
+    need = jnp.ones((C,), bool)                              # unmatched cells
+    succ_add = jnp.zeros((P,), jnp.int32)
+    fail_add = jnp.zeros((P,), jnp.int32)
+    dtype = pts.pos.dtype
+    feats = {
+        "px": jnp.zeros((C, 2), dtype),
+        "f": jnp.zeros((C, 3), dtype),
+        "level": jnp.zeros((C,), jnp.int32),
+        "point": jnp.full((C,), -1, jnp.int32),
+        "valid": jnp.zeros((C,), bool),
+    }
+    for _ in range(1 + cfg.reproject_n_retries):
+        key = jnp.where(tried, -1, key0)
+        cell_best = jnp.full((C,), -1, jnp.int32).at[cid].max(key)
+        winner = jnp.where(cell_best >= 0, cell_best % P, 0)  # (C,) pt slot
+        cell_has = (cell_best >= 0) & need
+        # every attempted candidate is "tried" whether or not it matches
+        tried = tried.at[jnp.where(cell_has, winner, P)].set(True,
+                                                             mode="drop")
+
+        w_kf = src_kf[winner]
+        depth_ref = jnp.linalg.norm(
+            pts.pos[winner] - kf_centers[jnp.clip(w_kf, 0, K - 1)], axis=-1)
+        T_cur_ref = SE3(q=T_cur_ref_all.q[w_kf], t=T_cur_ref_all.t[w_kf])
+        px_init = px[winner]
+        # the 60-degree gate: the cell still claims its try, but the match
+        # is forced to fail (the reference counts it via n_failed_reproj_)
+        try_ok = cell_has & angle_ok[winner]
+        px_cur, search_level, success = matcher.find_match_direct(
+            cur_stack, vo.kfs.stack, w_kf, cam,
+            src_px[winner], src_f[winner], depth_ref,
+            src_level[winner], T_cur_ref, px_init, try_ok, cfg)
+
+        # quality counters (ref reprojector.cpp:200-216): every try counts
+        succ_add = succ_add.at[winner].add(success.astype(jnp.int32))
+        fail_add = fail_add.at[winner].add(
+            (cell_has & ~success).astype(jnp.int32))
+
+        f_cur = cam.cam2world(px_cur)
+        upd = success
+        feats = {
+            "px": jnp.where(upd[:, None], px_cur, feats["px"]),
+            "f": jnp.where(upd[:, None], f_cur, feats["f"]),
+            "level": jnp.where(upd, search_level, feats["level"]),
+            "point": jnp.where(upd, winner, feats["point"]),
+            "valid": feats["valid"] | upd,
+        }
+        need = need & ~success
     n_succ = pts.n_succ + succ_add
     n_fail = pts.n_fail + fail_add
     ptype = pts.ptype
@@ -167,16 +205,7 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
     ptype = jnp.where(del_unk | del_good, st.TYPE_DELETED, ptype)
     points_new = pts.replace(n_succ=n_succ, n_fail=n_fail, ptype=ptype)
 
-    # ---- current-frame feature table ---------------------------------------
-    f_cur = cam.cam2world(px_cur)
-    feats = {
-        "px": px_cur,
-        "f": f_cur,
-        "level": search_level,
-        "point": jnp.where(success, winner, -1),
-        "valid": success,
-    }
-    n_matches = jnp.sum(success).astype(jnp.int32)
+    n_matches = jnp.sum(feats["valid"]).astype(jnp.int32)
     return feats, points_new, n_matches
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from android_svo_tpu.geometry.linsolve import inv_spd
 from android_svo_tpu.ops import interp
 
 # ref feature_alignment.cpp:276: min_update_squared = 0.03*0.03
@@ -59,7 +60,7 @@ def align2d(img: jnp.ndarray, ref_patch: jnp.ndarray, ref_dx: jnp.ndarray,
     J = jnp.stack([gx, gy, ones], axis=-1)                  # (N, A, 3)
     H = jnp.einsum("nai,naj->nij", J, J)
     H = H + 1e-6 * jnp.eye(3, dtype=dtype)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv_spd(H)
 
     def body(it, carry):
         del it
@@ -110,7 +111,7 @@ def align1d(img: jnp.ndarray, ref_patch: jnp.ndarray, ref_dx: jnp.ndarray,
     ones = jnp.ones_like(gdir)
     J = jnp.stack([gdir, ones], axis=-1)                    # (N, A, 2)
     H = jnp.einsum("nai,naj->nij", J, J) + 1e-6 * jnp.eye(2, dtype=dtype)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv_spd(H)
 
     def body(it, carry):
         del it

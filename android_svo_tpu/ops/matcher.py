@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.geometry.camera import project2d, unproject2d
+from android_svo_tpu.geometry.linsolve import det2x2, inv2x2, inv_spd
 from android_svo_tpu.geometry.triangulation import depth_from_triangulation
 from android_svo_tpu.ops import interp
 from android_svo_tpu.ops import patch_pallas as pp
@@ -65,7 +66,7 @@ def get_best_search_level(A_cur_ref: jnp.ndarray,
                           max_level: int) -> jnp.ndarray:
     """Pyramid level where the warped patch's area shrinks below 3
     (ref getBestSearchLevel, matcher.cpp:65-80)."""
-    D = jnp.abs(jnp.linalg.det(A_cur_ref))                  # (N,)
+    D = jnp.abs(det2x2(A_cur_ref))                          # (N,)
     level = jnp.zeros(D.shape, jnp.int32)
     for _ in range(max_level):
         step_up = D > 3.0
@@ -96,11 +97,11 @@ def warp_affine_stack(kf_stack: jnp.ndarray, kf_idx: jnp.ndarray,
     p = 2 * halfpatch_border
     dtype = px_ref.dtype
     K, L, Hp, Wp = kf_stack.shape
-    det = jnp.linalg.det(A_cur_ref)
+    det = det2x2(A_cur_ref)
     ok = jnp.abs(det) > 1e-8
     A_safe = jnp.where(ok[:, None, None], A_cur_ref,
                        jnp.eye(2, dtype=dtype))
-    A_ref_cur = jnp.linalg.inv(A_safe)                      # (N,2,2)
+    A_ref_cur = inv2x2(A_safe)                              # (N,2,2)
 
     lvl = jnp.clip(level_ref.astype(jnp.int32), 0, L - 1)
     offs = interp.patch_offsets(halfpatch_border, dtype)    # (P*P, 2)
@@ -155,7 +156,7 @@ def align1d_stack(stack, lvl, ref_patch, ref_dx, ref_dy, direction,
     ones = jnp.ones_like(gdir)
     J = jnp.stack([gdir, ones], axis=-1)                    # (N, A, 2)
     H = jnp.einsum("nai,naj->nij", J, J) + 1e-6 * jnp.eye(2, dtype=dtype)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv_spd(H)
     lvl = jnp.clip(lvl.astype(jnp.int32), 0, stack.shape[0] - 1)
     wl = (w >> lvl).astype(dtype)
     hl = (h >> lvl).astype(dtype)

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from android_svo_tpu.geometry.linsolve import inv_spd
 from android_svo_tpu.ops import interp
 
 # debug escape hatch: PALLAS_DISABLE=sample,scan,align forces the pure-JAX
@@ -90,7 +91,10 @@ def _pad_rows(x: jnp.ndarray, n: int):
 
 def _load_window(stack_ref, l, yi, xi, h, w, rows: int = WIN_R):
     """Aligned (rows, WIN_C) window whose top-left maps to (yi, xi) after
-    the two rolls.  Requires 0 <= yi <= h-12, 0 <= xi <= w-12.
+    the two rolls.  Requires 0 <= yi <= h-(s+1), 0 <= xi <= w-(s+1) for an
+    (s+1)-row/col crop: the aligned start clamps to h-rows / w-WIN_C, and
+    the roll then brings rows [yi, yi+s] into the window top — valid
+    whenever the crop fits inside the plane.
 
     NOTE: the roll shifts are expressed as POSITIVE amounts mod the window
     size.  Mosaic's dynamic `pltpu.roll` with a *negative* shift on the
@@ -140,10 +144,13 @@ def _make_sample_kernel(half: int, grad: bool):
                 y0f = jnp.floor(y)
                 wx = x - x0f
                 wy = y - y0f
+                # clamp so the (s+1)-point crop fits the plane; clamping
+                # MUST NOT trigger for in-bounds samples or the patch
+                # shifts (callers gate uv against the true level dims)
                 xi = jnp.clip(x0f.astype(jnp.int32) - half - border, 0,
-                              w - 12)
+                              w - (s + 1))
                 yi = jnp.clip(y0f.astype(jnp.int32) - half - border, 0,
-                              h - 12)
+                              h - (s + 1))
                 win = _load_window(stack_ref, l, yi, xi, h, w, rows)
                 patch = _bilinear_crop(win, wx, wy, s)
                 if grad:
@@ -275,8 +282,8 @@ def _make_scan_kernel(n_steps_max: int, half: int, h_true: int, w_true: int):
                 y0f = jnp.floor(y)
                 wx = x - x0f
                 wy = y - y0f
-                xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, w - 12)
-                yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, h - 12)
+                xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, w - (p + 1))
+                yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, h - (p + 1))
                 win = _load_window(stack_ref, l, yi, xi, h, w, rows)
                 cur = _bilinear_crop(win, wx, wy, p)
                 cm = jnp.sum(cur) * (1.0 / (p * p))
@@ -449,8 +456,10 @@ def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
                     y0f = jnp.floor(v)
                     wx = u - x0f
                     wy = v - y0f
-                    xi = jnp.clip(x0f.astype(jnp.int32) - half, 0, ws - 12)
-                    yi = jnp.clip(y0f.astype(jnp.int32) - half, 0, hs - 12)
+                    xi = jnp.clip(x0f.astype(jnp.int32) - half, 0,
+                                  ws - (p + 1))
+                    yi = jnp.clip(y0f.astype(jnp.int32) - half, 0,
+                                  hs - (p + 1))
                     win = _load_window(stack_ref, l, yi, xi, hs, ws, rows)
                     return _bilinear_crop(win, wx, wy, p)
 
@@ -608,7 +617,7 @@ def align_iclk(stack, lvl, ref_patch, ref_dx, ref_dy, init_uv, valid,
     ones = jnp.ones_like(gxf)
     J = jnp.stack([gxf, gyf, ones], axis=-1)
     H = jnp.einsum("nai,naj->nij", J, J) + 1e-6 * jnp.eye(3, dtype=dtype)
-    hinv = jnp.linalg.inv(H)
+    hinv = inv_spd(H)
 
     if interpret:
         with pltpu.force_tpu_interpret_mode():

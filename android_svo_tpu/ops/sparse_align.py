@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from android_svo_tpu.config import SVOConfig
+from android_svo_tpu.geometry.linsolve import solve_spd
 from android_svo_tpu.geometry.se3 import SE3, hat
 from android_svo_tpu.ops import interp
 from android_svo_tpu.ops import patch_pallas as pp
@@ -157,7 +158,7 @@ def sparse_img_align(ref_stack, cur_stack, cam, T_cur_ref_init: SE3,
             # (ref nlls_solver_impl.hpp:150: H(i,i) *= 1 + mu)
             damp = 1e-4 + (mu if lm else 0.0)
             H = H + damp * jnp.eye(6, dtype=dtype) * jnp.trace(H) / 6.0
-            dx = jnp.linalg.solve(H, -g)
+            dx = solve_spd(H, -g)
             improved = chi2 < best_chi2
             new_best_q = jnp.where(improved, T_q, best_q)
             new_best_t = jnp.where(improved, T_t, best_t)

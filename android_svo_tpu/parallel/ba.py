@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry import robust
 from android_svo_tpu.geometry.camera import project2d
+from android_svo_tpu.geometry.linsolve import inv_spd, solve_spd_loop
 from android_svo_tpu.geometry.se3 import SE3, hat
 
 
@@ -110,7 +111,7 @@ def _ba_iteration(pos, obs_f, obs_ok, Ehot, q_kw, t_kw, core_slots, fixed,
     Upp = jnp.einsum("poij,poik->pjk", wJp, Jp)             # (P,3,3)
     Upp = Upp + 1e-5 * jnp.eye(3, dtype=dtype)
     bp = jnp.einsum("poij,poi->pj", wJp, e)                 # (P,3)
-    Upp_inv = jnp.linalg.inv(Upp)
+    Upp_inv = inv_spd(Upp)
 
     # camera blocks (scattered to core index via one-hot)
     Hcc = jnp.einsum("poc,poij,poik->cjk", Ehot, wJc, Jc)   # (NC,6,6)
@@ -134,7 +135,7 @@ def _ba_iteration(pos, obs_f, obs_ok, Ehot, q_kw, t_kw, core_slots, fixed,
     S = jnp.where(fix[:, None] | fix[None, :], 0.0, S)
     S = S + jnp.diag(jnp.where(fix, 1.0, 1e-6 * (jnp.trace(S) /
                                                  (6 * NC) + 1.0)))
-    dxc = jnp.linalg.solve(S, rhs)                          # (NC*6,)
+    dxc = solve_spd_loop(S, rhs)                          # (NC*6,)
     dxc = jnp.where(fix, 0.0, dxc).reshape(NC, 6)
 
     # back-substitute landmarks: dx_p = -Upp^-1 (bp + H_pc dx_c)

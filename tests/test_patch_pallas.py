@@ -67,6 +67,29 @@ class TestSamplePatches:
             np.testing.assert_allclose(
                 np.asarray(out[i]), img[y - 4:y + 4, x - 4:x + 4], atol=1e-4)
 
+    def test_bottom_edge_not_shifted(self, stack):
+        """Regression: samples whose window origin lands within 12 px of the
+        plane's bottom/right used to be clamped harder than the crop
+        accounted for, shifting the patch by up to several rows (the r2 TPU
+        accuracy bug — corrupt sparse-align patches at the bottom of level
+        substacks).  The clamp must only bind for out-of-plane crops."""
+        for half, grad in ((2, True), (4, False)):
+            margin = half + (2 if grad else 1)
+            # deepest valid positions on the level-0 plane (H x W exactly)
+            uv = jnp.array([[W - 1.0 - margin, H - 1.0 - margin],
+                            [W * 0.5, H - 1.0 - margin],
+                            [W - 1.0 - margin, H * 0.5]], jnp.float32)
+            lvl = jnp.zeros((3,), jnp.int32)
+            ref = pp.sample_patches(stack, lvl, uv, half, grad,
+                                    use_pallas=False)
+            out = pp.sample_patches(stack, lvl, uv, half, grad,
+                                    interpret=True)
+            ref = ref if isinstance(ref, tuple) else (ref,)
+            out = out if isinstance(out, tuple) else (out,)
+            for a, b in zip(ref, out):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-3)
+
     def test_garbage_inputs_are_finite(self, stack):
         uv = jnp.array([[jnp.nan, 1e9], [-50.0, -50.0], [1e9, jnp.nan]],
                        jnp.float32)

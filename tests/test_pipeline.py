@@ -103,3 +103,35 @@ class TestEndToEnd:
         # viewpoint robustness on real sequences — we keep the reference's
         # behavior and budget for it here.
         assert ate < 0.09, ate
+
+    @pytest.mark.slow
+    def test_long_horizon_with_eviction(self):
+        """60-frame sweep with a small keyframe arena so furthest-KF
+        eviction + landmark re-anchoring (pipeline.insert_keyframe's
+        evicted-slot scrub) runs several times mid-sequence — the code path
+        the reference exercises via `max_n_kfs` pruning
+        (frame_handler_mono.cpp:303-308, map.cpp:66-99)."""
+        n = 60
+        cfg = CFG.replace(max_n_kfs=6, kfselect_mindist=0.03)
+        cam, imgs, poses = make_sequence(n, step=0.03)
+        handler = fh.FrameHandler(cam, cfg)
+        est_pos, gt_pos = [], []
+        n_fail = 0
+        n_kf = 0
+        for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
+            res = handler.add_image(img, i * 0.1)
+            if handler.stage == fh.STAGE_DEFAULT_FRAME:
+                est_pos.append(np.asarray(res.T_cw.inverse().t))
+                gt_pos.append(np.asarray(pose_gt.t))
+                if res.result == pipeline.RES_FAILURE:
+                    n_fail += 1
+                if res.result == pipeline.RES_IS_KEYFRAME:
+                    n_kf += 1
+        assert handler.stage == fh.STAGE_DEFAULT_FRAME
+        assert n_fail == 0
+        # eviction must actually have happened (bootstrap adds 2 KFs)
+        assert n_kf + 2 > cfg.max_n_kfs, n_kf
+        # the arena must stay exactly full once eviction starts
+        assert int(np.asarray(handler.vo.kfs.valid).sum()) == cfg.max_n_kfs
+        ate = ate_rmse(np.array(est_pos), np.array(gt_pos))
+        assert ate < 0.09, ate
