@@ -40,6 +40,9 @@ class SVOConfig:
     triang_min_corner_score: float = 10.0
     fast_threshold: float = 20.0        # FAST intensity threshold (cv::FAST default-ish)
     max_fts: int = 1200                 # feature budget per frame (ref config.cpp:82)
+    edgelet_detection: bool = False     # EDGELET fallback in cornerless cells
+                                        # (ref feature.h:31 — latent in the reference)
+    edgelet_grad_min: float = 30.0      # min |grad| for an edgelet (0-255 intensity units)
 
     # ---- matcher / feature alignment ---------------------------------------
     patch_halfsize: int = 4             # 8x8 matcher patch (ref matcher.h:70-71)
@@ -109,6 +112,7 @@ class SVOConfig:
     # ---- local bundle adjustment ---------------------------------------------------
     loba_n_iter: int = 5                # GN iterations (upstream default; android=0/off)
     loba_num_kfs: int = 4               # core keyframes in local BA window
+    loba_every_n_kfs: int = 1           # amortization: run BA every Nth keyframe
     loba_robust_huber_width: float = 1.0
     loba_thresh: float = 2.0
 

@@ -152,6 +152,7 @@ class FrameHandler:
         self._key = jax.random.PRNGKey(seed)
         self._first = None          # (pyr, det) of the first frame
         self._n_fail = 0
+        self._n_kf_since_ba = 0
         # per-stage timing + per-frame trace (ref SVO_START/STOP_TIMER,
         # frame_handler_base.cpp:43-70,126-132); None = no instrumentation
         self.perf_mon = perf_mon
@@ -171,6 +172,7 @@ class FrameHandler:
         self.vo = st.init_state(self.cfg, self.cam.width, self.cam.height)
         self._first = None
         self._n_fail = 0
+        self._n_kf_since_ba = 0
 
     # -- stage bodies ---------------------------------------------------------
     def _pyr_det(self, img):
@@ -299,9 +301,18 @@ class FrameHandler:
             # (ref relocalizeFrame, frame_handler_mono.cpp:331-347)
             result = pipeline.RES_FAILURE
         if result == pipeline.RES_IS_KEYFRAME and self.cfg.loba_n_iter > 0:
-            with self._timer("local_ba"):
-                self.vo = self._jit_ba(self.vo)
-                jax.block_until_ready(self.vo.kfs.q_kw)
+            self._n_kf_since_ba += 1
+            if self._n_kf_since_ba >= self.cfg.loba_every_n_kfs:
+                self._n_kf_since_ba = 0
+                # dispatch only — NO device sync.  The reference ran BA on
+                # the mapping thread so tracking never blocked on it
+                # (depth_filter.cpp:63-67 thread split); the single-chip
+                # analog is an async dispatch that the device pipeline
+                # absorbs between frames (the next track step consumes the
+                # BA-updated state, serialized on-device, off the host
+                # latency path).
+                with self._timer("local_ba"):
+                    self.vo = self._jit_ba(self.vo)
         if result == pipeline.RES_FAILURE:
             self._n_fail += 1
             if was_reloc or self._n_fail >= 2:

@@ -139,6 +139,8 @@ def promote_converged_seeds(vo: st.VOState, conv: jnp.ndarray, cam,
         ref_px=pts.ref_px.at[dst].set(seeds.px[src], mode=mode),
         ref_level=pts.ref_level.at[dst].set(seeds.level[src], mode=mode),
         ref_f=pts.ref_f.at[dst].set(seeds.f[src], mode=mode),
+        ref_type=pts.ref_type.at[dst].set(seeds.ftype[src], mode=mode),
+        ref_grad=pts.ref_grad.at[dst].set(seeds.grad[src], mode=mode),
         obs_kf=pts.obs_kf.at[dst].set(-1, mode=mode),
         obs_count=pts.obs_count.at[dst].set(0, mode=mode),
     )
@@ -202,9 +204,13 @@ def insert_keyframe(vo: st.VOState, cur_pyr, cur_stack, T_cw: SE3, feats,
     ref_level = jnp.where(need & has_alt, take(pts.obs_level),
                           pts.ref_level)
     ref_f = jnp.where((need & has_alt)[:, None], take(pts.obs_f), pts.ref_f)
+    # the obs table stores no gradient direction: a re-anchored edgelet's
+    # direction would be stale in the new frame, so demote it to CORNER
+    ref_type = jnp.where(need & has_alt, detect.FTYPE_CORNER, pts.ref_type)
     ptype = jnp.where(need & ~has_alt, st.TYPE_DELETED, pts.ptype)
     pts = pts.replace(obs_kf=obs_kf, ptype=ptype, ref_kf=ref_kf,
-                      ref_px=ref_px, ref_level=ref_level, ref_f=ref_f)
+                      ref_px=ref_px, ref_level=ref_level, ref_f=ref_f,
+                      ref_type=ref_type)
 
     # ---- scene depth of current frame --------------------------------------
     p_w = pts.pos[feats["point"]]
@@ -282,6 +288,8 @@ def insert_keyframe(vo: st.VOState, cur_pyr, cur_stack, T_cw: SE3, feats,
         px=seeds.px.at[dst].set(det["px"][src], mode=mode),
         f=seeds.f.at[dst].set(f_new[src], mode=mode),
         level=seeds.level.at[dst].set(det["level"][src], mode=mode),
+        ftype=seeds.ftype.at[dst].set(det["ftype"][src], mode=mode),
+        grad=seeds.grad.at[dst].set(det["grad"][src], mode=mode),
         a=seeds.a.at[dst].set(a0[src], mode=mode),
         b=seeds.b.at[dst].set(b0[src], mode=mode),
         mu=seeds.mu.at[dst].set(mu0[src], mode=mode),

@@ -173,7 +173,8 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
         px_cur, search_level, success = matcher.find_match_direct(
             cur_stack, vo.kfs.stack, w_kf, cam,
             src_px[winner], src_f[winner], depth_ref,
-            src_level[winner], T_cur_ref, px_init, try_ok, cfg)
+            src_level[winner], T_cur_ref, px_init, try_ok, cfg,
+            ref_grad=pts.ref_grad[winner], ref_type=pts.ref_type[winner])
 
         # quality counters (ref reprojector.cpp:200-216): every try counts
         succ_add = succ_add.at[winner].add(success.astype(jnp.int32))

@@ -77,6 +77,8 @@ class PointArena:
     ref_px: jnp.ndarray        # (P, 2) level-0 px in ref kf
     ref_level: jnp.ndarray     # (P,) int32
     ref_f: jnp.ndarray         # (P, 3) unit bearing in ref kf frame
+    ref_type: jnp.ndarray      # (P,) int32 FTYPE_* of the birth feature
+    ref_grad: jnp.ndarray      # (P, 2) unit gradient dir in ref kf (edgelets)
     # observation table (ref Point::obs_; px/level added so the matcher can
     # source the patch from the closest-view observation, point.cpp:101-125)
     obs_kf: jnp.ndarray        # (P, O) int32 kf slot, -1 empty
@@ -97,6 +99,8 @@ class SeedArena:
     px: jnp.ndarray            # (S, 2) level-0 px in that kf
     f: jnp.ndarray             # (S, 3) unit bearing in kf frame
     level: jnp.ndarray         # (S,) int32 detection level
+    ftype: jnp.ndarray         # (S,) int32 FTYPE_* (ref feature.h:31)
+    grad: jnp.ndarray          # (S, 2) unit gradient dir (edgelets)
     a: jnp.ndarray             # (S,)
     b: jnp.ndarray             # (S,)
     mu: jnp.ndarray            # (S,) inverse depth mean
@@ -181,6 +185,8 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         ref_px=jnp.zeros((P, 2), dtype),
         ref_level=jnp.zeros((P,), jnp.int32),
         ref_f=jnp.zeros((P, 3), dtype),
+        ref_type=jnp.zeros((P,), jnp.int32),
+        ref_grad=jnp.zeros((P, 2), dtype),
         obs_kf=jnp.full((P, O), -1, jnp.int32),
         obs_f=jnp.zeros((P, O, 3), dtype),
         obs_px=jnp.zeros((P, O, 2), dtype),
@@ -192,6 +198,8 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         px=jnp.zeros((S, 2), dtype),
         f=jnp.zeros((S, 3), dtype),
         level=jnp.zeros((S,), jnp.int32),
+        ftype=jnp.zeros((S,), jnp.int32),
+        grad=jnp.zeros((S, 2), dtype),
         a=jnp.ones((S,), dtype),
         b=jnp.ones((S,), dtype),
         mu=jnp.ones((S,), dtype),

@@ -97,9 +97,28 @@ def grid_shape(h: int, w: int, cell: int) -> tuple[int, int]:
     return (h + cell - 1) // cell, (w + cell - 1) // cell
 
 
+# feature types (ref feature.h:31 FeatureType {CORNER, EDGELET})
+FTYPE_CORNER = 0
+FTYPE_EDGELET = 1
+
+
+def _cell_reduce(score_map, n_rows, n_cols, gl):
+    """Per-cell (max, argmax-y, argmax-x) of a level score map padded to the
+    cell grid."""
+    cells = score_map.reshape(n_rows, gl, n_cols, gl).transpose(0, 2, 1, 3)
+    cells = cells.reshape(n_rows, n_cols, gl * gl)
+    cmax = cells.max(axis=-1)
+    carg = cells.argmax(axis=-1)
+    return cmax, carg // gl, carg % gl
+
+
 def detect_features(pyr, occupied_cells: jnp.ndarray | None,
                     cfg: SVOConfig, n_levels: int | None = None):
-    """Best corner per grid cell across pyramid levels.
+    """Best corner per grid cell across pyramid levels; optionally falls
+    back to an EDGELET (strong-gradient pixel + direction) in cells with no
+    corner (ref feature.h:31 CORNER/EDGELET — latent in the reference,
+    which only ever creates corners; enabled here via
+    `cfg.edgelet_detection`).
 
     Args:
       pyr: tuple of (H/2^l, W/2^l) images, level 0 first.
@@ -109,7 +128,9 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
 
     Returns dict with per-cell arrays (n_cells = n_rows * n_cols):
       px (n_cells, 2) level-0 float pixel coords, level (n_cells,) int32,
-      score (n_cells,) f32, valid (n_cells,) bool.
+      score (n_cells,) f32, valid (n_cells,) bool,
+      ftype (n_cells,) int32 FTYPE_*, grad (n_cells, 2) unit gradient
+      direction (meaningful for edgelets; zeros otherwise).
     """
     n_levels = n_levels if n_levels is not None else cfg.n_pyr_levels
     h, w = pyr[0].shape
@@ -118,34 +139,56 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
         "grid_size must be divisible by 2^(n_levels-1) for reshape NMS")
     n_rows, n_cols = grid_shape(h, w, g)
     n_cells = n_rows * n_cols
+    dtype = pyr[0].dtype
 
-    best_score = jnp.full((n_levels, n_rows, n_cols), -1.0, pyr[0].dtype)
-    best_xy = jnp.zeros((n_levels, n_rows, n_cols, 2), pyr[0].dtype)
+    best_score = jnp.full((n_levels, n_rows, n_cols), -1.0, dtype)
+    best_xy = jnp.zeros((n_levels, n_rows, n_cols, 2), dtype)
+    eg_score = jnp.full((n_levels, n_rows, n_cols), -1.0, dtype)
+    eg_xy = jnp.zeros((n_levels, n_rows, n_cols, 2), dtype)
+    eg_dir = jnp.zeros((n_levels, n_rows, n_cols, 2), dtype)
 
     for level in range(n_levels):
         img = pyr[level]
         hl, wl = img.shape
         gl = g // (2 ** level)
+        ph, pw = n_rows * gl, n_cols * gl
+        scale = float(2 ** level)
+
         score = shi_tomasi_score_map(img)
         score = jnp.where(fast_corner_mask(img, cfg.fast_threshold), score, 0.0)
         score = _mask_margin(score, EDGE_MARGIN)
-        # pad level map up to the cell grid, then per-cell max+argmax
-        ph, pw = n_rows * gl, n_cols * gl
         score = jnp.pad(score, ((0, ph - hl), (0, pw - wl)),
                         constant_values=0.0)
-        cells = score.reshape(n_rows, gl, n_cols, gl).transpose(0, 2, 1, 3)
-        cells = cells.reshape(n_rows, n_cols, gl * gl)
-        cmax = cells.max(axis=-1)
-        carg = cells.argmax(axis=-1)
-        yl = carg // gl
-        xl = carg % gl
+        cmax, yl, xl = _cell_reduce(score, n_rows, n_cols, gl)
         cy = jnp.arange(n_rows)[:, None] * gl + yl
         cx = jnp.arange(n_cols)[None, :] * gl + xl
-        scale = float(2 ** level)
         best_score = best_score.at[level].set(cmax)
         best_xy = best_xy.at[level].set(
-            jnp.stack([cx.astype(score.dtype) * scale,
-                       cy.astype(score.dtype) * scale], axis=-1))
+            jnp.stack([cx.astype(dtype) * scale,
+                       cy.astype(dtype) * scale], axis=-1))
+
+        if cfg.edgelet_detection:
+            # strong-gradient fallback (upstream SVO's edge detector: max
+            # |grad| pixel per cell, direction = image gradient normal)
+            dx = jnp.zeros_like(img).at[:, 1:-1].set(img[:, 2:] - img[:, :-2])
+            dy = jnp.zeros_like(img).at[1:-1, :].set(img[2:, :] - img[:-2, :])
+            gmag = _mask_margin(dx * dx + dy * dy, EDGE_MARGIN)
+            gmag = jnp.pad(gmag, ((0, ph - hl), (0, pw - wl)),
+                           constant_values=0.0)
+            emax, eyl, exl = _cell_reduce(gmag, n_rows, n_cols, gl)
+            ey = jnp.arange(n_rows)[:, None] * gl + eyl
+            ex = jnp.arange(n_cols)[None, :] * gl + exl
+            eyc = jnp.clip(ey, 0, hl - 1)
+            exc = jnp.clip(ex, 0, wl - 1)
+            gdx = dx[eyc, exc]
+            gdy = dy[eyc, exc]
+            norm = jnp.sqrt(jnp.maximum(gdx * gdx + gdy * gdy, 1e-12))
+            eg_score = eg_score.at[level].set(emax)
+            eg_xy = eg_xy.at[level].set(
+                jnp.stack([ex.astype(dtype) * scale,
+                           ey.astype(dtype) * scale], axis=-1))
+            eg_dir = eg_dir.at[level].set(
+                jnp.stack([gdx / norm, gdy / norm], axis=-1))
 
     lvl = jnp.argmax(best_score, axis=0)                    # (n_rows, n_cols)
     score = jnp.max(best_score, axis=0)
@@ -157,6 +200,29 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
     xy = xy.reshape(n_cells, 2)
     lvl = lvl.reshape(n_cells).astype(jnp.int32)
     valid = score > cfg.triang_min_corner_score
+    ftype = jnp.zeros((n_cells,), jnp.int32)
+    grad = jnp.zeros((n_cells, 2), dtype)
+
+    if cfg.edgelet_detection:
+        elvl = jnp.argmax(eg_score, axis=0)
+        escore = jnp.max(eg_score, axis=0)
+        take = lambda a: jnp.take_along_axis(  # noqa: E731
+            a, jnp.broadcast_to(elvl[None, :, :, None],
+                                (1,) + a.shape[1:]), axis=0)[0]
+        exy = take(eg_xy).reshape(n_cells, 2)
+        edir = take(eg_dir).reshape(n_cells, 2)
+        escore = escore.reshape(n_cells)
+        elvl = elvl.reshape(n_cells).astype(jnp.int32)
+        # edgelet only where no corner qualifies (corner wins, ref upstream
+        # detector ordering) and the gradient is strong enough
+        is_edge = ~valid & (escore > cfg.edgelet_grad_min ** 2)
+        xy = jnp.where(is_edge[:, None], exy, xy)
+        lvl = jnp.where(is_edge, elvl, lvl)
+        score = jnp.where(is_edge, escore, score)
+        ftype = jnp.where(is_edge, FTYPE_EDGELET, ftype)
+        grad = jnp.where(is_edge[:, None], edir, grad)
+        valid = valid | is_edge
+
     if occupied_cells is not None:
         valid = valid & ~occupied_cells
     if n_cells > cfg.max_fts:
@@ -165,7 +231,8 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
         kth = jnp.sort(jnp.where(valid, score, -jnp.inf))[
             n_cells - cfg.max_fts]
         valid = valid & (score >= kth)
-    return {"px": xy, "level": lvl, "score": score, "valid": valid}
+    return {"px": xy, "level": lvl, "score": score, "valid": valid,
+            "ftype": ftype, "grad": grad}
 
 
 def cell_index(px: jnp.ndarray, w: int, cell: int, n_cols: int) -> jnp.ndarray:

@@ -196,13 +196,18 @@ def align1d_stack(stack, lvl, ref_patch, ref_dx, ref_dy, direction,
 def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
                       px_ref, f_ref, depth_ref, level_ref,
                       T_cur_ref: SE3, px_cur_init, valid,
-                      cfg: SVOConfig):
+                      cfg: SVOConfig, ref_grad=None, ref_type=None):
     """Subpixel match of map points into the current frame.
 
     Warps each point's reference patch to the current view, picks the best
     search level from the affine warp, and runs batched fused ICLK around
     the projected position.  Returns (px_cur level-0, search_level,
     success).
+
+    When `cfg.edgelet_detection` and `ref_grad`/`ref_type` are given,
+    EDGELET features are aligned 1D along their warped gradient direction
+    instead of the full 2D ICLK (ref matcher.cpp:192-200:
+    `A_cur_ref_*ref_ftr.grad` -> align1D).
     """
     halfpatch = cfg.patch_halfsize
     use_pallas = pp.cfg_use_pallas(cfg)
@@ -225,6 +230,20 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
     uv_out, conv, _ = pp.align_iclk(
         cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
         cfg.align_max_iter, h, w, use_pallas=use_pallas)
+
+    if cfg.edgelet_detection and ref_grad is not None:
+        from android_svo_tpu.ops.detect import FTYPE_EDGELET
+        is_edge = (ref_type == FTYPE_EDGELET) & valid
+        # gradient direction carried into the current view by the affine
+        # warp (ref matcher.cpp:192: A_cur_ref_ * ref_ftr.grad)
+        dir_cur = jnp.einsum("nij,nj->ni", A, ref_grad)
+        dir_cur = dir_cur / jnp.maximum(
+            jnp.linalg.norm(dir_cur, axis=-1, keepdims=True), 1e-8)
+        uv_e, conv_e, _ = align1d_stack(
+            cur_stack, search_level, ref_patch, gx, gy, dir_cur, uv_init,
+            is_edge, cfg.align_max_iter, h, w, use_pallas=use_pallas)
+        uv_out = jnp.where(is_edge[:, None], uv_e, uv_out)
+        conv = jnp.where(is_edge, conv_e, conv)
 
     px_cur = uv_out * scale_s[:, None]
     return px_cur, search_level, conv & valid

@@ -6,9 +6,16 @@ Run on the real TPU (default backend).  Prints ONE JSON line:
    "vs_baseline": N/200, ...}
 
 Baseline (BASELINE.md): >= 200 frames/s on a single chip with EuRoC-class
-ATE.  Real EuRoC data is not available in this environment (zero egress), so
-the bench renders a textured-plane sequence with exact ground truth — same
-resolution class (VGA), same pipeline path as a dataset run.
+ATE — stated for TPU v5p; this environment exposes one v5e (TPU v5 lite)
+chip, reported in the output.  Real EuRoC data is not available here (zero
+egress), so the bench renders a textured-plane sequence with exact ground
+truth — same resolution class (VGA), same pipeline path as a dataset run.
+
+Reporting (ref frame_handler split, depth_filter.cpp:63-67): `value` is
+steady-state tracking fps over ALL frames including keyframe insertion and
+the (asynchronously dispatched) local BA — the honest end-to-end number;
+`fps_track_only` excludes keyframe frames, isolating the per-frame tracking
+cost the reference's 10-timer table measures.
 """
 
 from __future__ import annotations
@@ -34,18 +41,15 @@ def main():
     args = ap.parse_args()
 
     if not args.inner:
-        # The axon TPU worker is flaky around long compiles: a process that
-        # compiles the big fused program often has its worker crash ("TPU
-        # worker process crashed or restarted ... kernel fault") or come
-        # back DEGRADED (identical dispatches run 10-25x slower; identical
-        # program+data both completes and faults across runs).  Isolate
-        # attempts in subprocesses: attempt 1 warms the persistent
-        # compilation cache even if it dies; later attempts skip the long
-        # compile and usually get a healthy session.  A degraded session
-        # (detected by noop-dispatch latency) reports itself with rc=3 and
-        # its result is kept only as a last resort.
+        # The axon TPU worker is flaky around crashes/long compiles: a
+        # session can come back DEGRADED (identical dispatches 10-25x
+        # slower) or the worker can die mid-run.  Isolate attempts in
+        # subprocesses; a degraded session is detected BEFORE the timed
+        # pass (rc=3) so attempts are cheap, and its result is published
+        # only as a last resort.
         degraded_line = None
-        for attempt in range(4):
+        last_err = ""
+        for attempt in range(6):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"]
                 + sys.argv[1:],
@@ -61,6 +65,10 @@ def main():
                   f"{'(degraded session)' if line else '(crashed)'}",
                   file=sys.stderr, flush=True)
             last_err = proc.stderr[-2000:]
+            if proc.returncode == 3:
+                # degraded worker: immediate reconnects land on the same
+                # sick session; idle for a bit before retrying
+                time.sleep(60)
         if degraded_line:
             print(degraded_line)
             return
@@ -68,6 +76,20 @@ def main():
         sys.exit(1)
 
     run_bench(args)
+
+
+def probe_dispatch_ms(jax, n=20):
+    """Median dispatch+sync latency of a trivial program — the session
+    health signal (healthy axon ~0.1 ms; degraded 10-25x worse)."""
+    x = jax.numpy.ones((256, 256), jax.numpy.float32)
+    noop = jax.jit(lambda v: v * 2.0)
+    jax.block_until_ready(noop(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(noop(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[n // 2] * 1e3
 
 
 def run_bench(args):
@@ -81,6 +103,16 @@ def run_bench(args):
 
     from android_svo_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    # session-health gate BEFORE any expensive work: a degraded session
+    # poisons every measurement; fail fast so the wrapper retries
+    dispatch_ms = probe_dispatch_ms(jax)
+    if dispatch_ms > 0.3:
+        print(json.dumps({"metric": "frames_per_second", "value": 0.0,
+                          "unit": "fps", "vs_baseline": 0.0,
+                          "dispatch_ms": round(dispatch_ms, 3),
+                          "degraded_session": True}))
+        sys.exit(3)
 
     from android_svo_tpu.config import SVOConfig
     from android_svo_tpu.core import frame_handler as fh
@@ -120,32 +152,44 @@ def run_bench(args):
     def run_sequence():
         est, gt = [], []
         n_fail = 0
-        t_track = 0.0
-        n_timed = 0
+        t_all = 0.0          # all steady-state frames (incl. KF + BA)
+        t_track = 0.0        # non-keyframe frames only
+        n_all = 0
+        n_track = 0
         for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
             timed = handler.stage == fh.STAGE_DEFAULT_FRAME and i > 8
             t0 = time.perf_counter()
             res = handler.add_image(img, i * 0.05)
+            dt = time.perf_counter() - t0
             if timed:
-                t_track += time.perf_counter() - t0
-                n_timed += 1
+                t_all += dt
+                n_all += 1
+                if res.result != pipeline.RES_IS_KEYFRAME:
+                    t_track += dt
+                    n_track += 1
             if handler.stage == fh.STAGE_DEFAULT_FRAME:
-                est.append(np.asarray(res.t_wc) if res.t_wc is not None
-                           else np.asarray(res.T_cw.inverse().t))
-                gt.append(np.asarray(pose_gt.t))
+                t = np.asarray(res.t_wc) if res.t_wc is not None \
+                    else np.asarray(res.T_cw.inverse().t)
+                if np.isfinite(t).all():
+                    est.append(t)
+                    gt.append(np.asarray(pose_gt.t))
+                else:
+                    n_fail += 1
                 if res.result == pipeline.RES_FAILURE:
                     n_fail += 1
-        return est, gt, n_fail, t_track, n_timed
+        return est, gt, n_fail, t_all, n_all, t_track, n_track
 
     # warmup pass: compiles every program (track step, detection, BA);
     # the timed pass below then measures steady-state throughput
     run_sequence()
     handler.reset()
     handler.perf_mon = pm
-    est, gt, n_fail, t_track, n_timed = run_sequence()
+    est, gt, n_fail, t_all, n_all, t_track, n_track = run_sequence()
 
-    fps = n_timed / t_track if t_track > 0 else 0.0
-    ate = ate_rmse(np.array(est), np.array(gt)) if len(est) >= 4 else -1.0
+    fps = n_all / t_all if t_all > 0 else 0.0
+    fps_track = n_track / t_track if t_track > 0 else 0.0
+    est, gt = np.array(est), np.array(gt)
+    ate = ate_rmse(est, gt) if len(est) >= 4 else -1.0
 
     # BA iterations/s (BASELINE.md primary metric): time the jitted local-BA
     # program over the populated keyframe window
@@ -162,17 +206,9 @@ def run_bench(args):
         dt = (time.perf_counter() - t0) / n_rep
         ba_iter_per_s = max(cfg.loba_n_iter, 1) / dt
 
-    # session-health probe: a healthy axon session dispatches a trivial
-    # program in ~0.03 ms; degraded (reconnected) sessions take 10-25x
-    # longer and poison every measurement above
-    x = jax.numpy.ones((256, 256), jax.numpy.float32)
-    noop = jax.jit(lambda v: v * 2.0)
-    jax.block_until_ready(noop(x))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        y = noop(x)
-    jax.block_until_ready(y)
-    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+    # re-probe: if the session degraded DURING the run, the numbers are
+    # suspect — report honestly and let the wrapper retry
+    dispatch_ms = probe_dispatch_ms(jax)
     degraded = dispatch_ms > 0.3
 
     pm.close()
@@ -182,9 +218,10 @@ def run_bench(args):
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 200.0, 3),
+        "fps_track_only": round(fps_track, 2),
         "ate_sim3": round(float(ate), 5),
         "ba_iter_per_s": round(ba_iter_per_s, 1),
-        "frames_timed": n_timed,
+        "frames_timed": n_all,
         "failures": n_fail,
         "track_ms": {k: round(v["mean_ms"], 2)
                      for k, v in summary.items() if v["count"] > 0},

@@ -1,21 +1,35 @@
-"""Scaling-efficiency harness: frames/s and BA iterations/s vs device count.
+"""Scaling-efficiency harness: weak-scaled BA and multi-sequence tracking
+vs device count, with a collective-inventory breakdown.
 
 BASELINE.md asks for >=0.8 scaling efficiency at 4 hosts on the sharded
 map/BA configurations.  Real multi-host hardware isn't available in this
-environment, so this harness measures the same sharded programs over
-sub-meshes of the virtual CPU device set (the standard
-`--xla_force_host_platform_device_count` stand-in; the mesh/sharding layout
-is identical to the multi-host one from `parallel.mesh.make_multihost_mesh`
-— "data" spans the would-be hosts).
+environment, so this harness runs the SAME sharded programs over a virtual
+CPU device set (`--xla_force_host_platform_device_count`) — but the CPU
+emulation shares `os.cpu_count()` host cores across all virtual devices, so
+wall-clock "efficiency" there measures core oversubscription, not the
+layout (this box has 2 cores; 8 devices are 4x oversubscribed before any
+collective costs).  The honest evidence this harness produces instead:
+
+  1. WEAK-scaled measurements (work per device constant) on the virtual
+     mesh, with the oversubscription factor reported next to them;
+  2. a collective inventory of each compiled sharded program (op count +
+     bytes moved per step, parsed from the compiled HLO) — the quantity
+     that actually costs time on real ICI;
+  3. a projected real-hardware efficiency from the roofline model
+     t_step = t_compute(per-device, measured 1-device) + bytes/BW + n*lat,
+     with v5e ICI numbers (~45 GB/s/link, ~1 us/hop).
+
+For the layouts here the inventory shows BA reduces only the (NC*6)^2
+camera system (+a few KB) per iteration and data-parallel tracking moves
+only per-sequence scalars — both orders of magnitude below per-device
+compute, hence projected efficiency ~1.0 (>=0.8 with huge margin).
 
 Run:
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-      python scripts/scaling_bench.py
-
-Prints one JSON line per (config, n_devices) plus an efficiency table.
+  python scripts/scaling_bench.py          (forces CPU + 8 virtual devices)
 """
 import json
 import os
+import re
 import sys
 import time
 
@@ -34,14 +48,51 @@ os.environ.pop("JAX_PLATFORMS", None)
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
+import numpy as np
 
 from android_svo_tpu.config import SVOConfig
+from android_svo_tpu.core import frame_handler as fh
 from android_svo_tpu.core import state as st
+from android_svo_tpu.data import synthetic
 from android_svo_tpu.data.synthetic import default_camera
+from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.parallel import mesh as mesh_lib
 from android_svo_tpu.parallel.ba import make_sharded_ba
 from android_svo_tpu.parallel.multi_seq import (init_batched_state,
                                                 make_sharded_track)
+
+# v5e ICI roofline constants (per link, one direction)
+ICI_BW = 45e9          # bytes/s
+ICI_LAT = 1e-6         # seconds per collective
+
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1, "f64": 8, "s64": 8}
+
+
+def collective_inventory(compiled_text: str) -> dict:
+    """Count collective ops + bytes moved in a compiled HLO module."""
+    ops = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
+           "collective-permute": 0}
+    total_bytes = 0
+    shape_re = re.compile(r"(f32|bf16|f16|s32|u32|s64|f64|pred|s8|u8)"
+                          r"\[([0-9,]*)\]")
+    for line in compiled_text.splitlines():
+        m = re.search(r"=\s*(\([^)]*\)|\S+)\s+"
+                      r"(all-reduce|all-gather|reduce-scatter|"
+                      r"collective-permute)\(", line)
+        if not m:
+            continue
+        ops[m.group(2)] += 1
+        for dt, dims in shape_re.findall(m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total_bytes += n * _DTYPE_BYTES[dt]
+    return {"ops": {k: v for k, v in ops.items() if v},
+            "n_collectives": sum(ops.values()),
+            "bytes_per_step": total_bytes}
 
 
 def timed(fn, *args, n=5):
@@ -54,27 +105,103 @@ def timed(fn, *args, n=5):
     return (time.perf_counter() - t0) / n
 
 
-def bench_tracking(n_devices: int, seq_per_device: int = 2):
-    """Batched multi-sequence tracking sharded over n devices (WEAK scaling
-    — sequences per device fixed, like adding hosts each tracking their own
-    sequences; efficiency = throughput / (n * single-device throughput))."""
-    batch = seq_per_device * n_devices
-    cfg = SVOConfig(max_n_kfs=4, max_points=512, max_seeds=512,
-                    img_align_n_iter=5, poseoptim_n_iter=3,
-                    structureoptim_n_iter=2, max_epi_search_steps=16,
-                    ransac_n_trials=8)
-    cam = default_camera(128, 96)
+# ---------------------------------------------------------------------------
+# BA: weak scaling — landmarks PER DEVICE constant
+# ---------------------------------------------------------------------------
+
+def _ba_problem(P, O=6, K=8, NC=5):
+    key = jax.random.PRNGKey(1)
+    pos = jax.random.uniform(key, (P, 3), jnp.float32, -1.0, 1.0)
+    pos = pos.at[:, 2].add(4.0)
+    q_kw = jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (K, 1))
+    t_kw = jnp.stack([jnp.linspace(-0.5, 0.5, K), jnp.zeros(K),
+                      jnp.zeros(K)], -1)
+    # realistic observation sparsity: most landmarks seen by 2-3 core KFs,
+    # the rest of the obs table empty (VERDICT r2 weak #7)
+    k2 = jax.random.PRNGKey(2)
+    first = jax.random.randint(k2, (P, 1), 0, K - 2)
+    n_obs = 2 + (jax.random.uniform(jax.random.PRNGKey(3), (P,)) < 0.3)
+    obs_kf = first + jnp.arange(O, dtype=jnp.int32)[None, :]
+    obs_kf = jnp.where(jnp.arange(O)[None, :] < n_obs[:, None], obs_kf, -1)
+    obs_kf = jnp.where(obs_kf < K, obs_kf, -1)
+    safe = jnp.maximum(obs_kf, 0)
+    xyz = pos[:, None, :] - t_kw[safe]
+    obs_f = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    valid = jnp.ones((P,), bool)
+    core = jnp.arange(NC, dtype=jnp.int32)
+    fixed = jnp.zeros((NC,), bool).at[0].set(True)
+    return pos, valid, obs_kf, obs_f, q_kw, t_kw, core, fixed
+
+
+def bench_ba(n_devices: int, p_per_dev: int = 4096):
+    """Weak-scaled distributed BA: p_per_dev landmarks per device, landmark
+    axis sharded over "map".  Returns (iters/s, seconds/iter, inventory)."""
+    cfg = SVOConfig(loba_n_iter=5)
+    mesh = mesh_lib.make_mesh(n_devices, data=1)
+    args = _ba_problem(p_per_dev * n_devices)
+    fn = make_sharded_ba(cfg, 100.0, mesh)
+    t = timed(lambda: fn(*args)[3])
+    inv = None
+    if n_devices > 1:
+        lowered = jax.jit(lambda *a: fn(*a)).lower(*args)
+        inv = collective_inventory(lowered.compile().as_text())
+    return cfg.loba_n_iter / t, t / cfg.loba_n_iter, inv
+
+
+# ---------------------------------------------------------------------------
+# tracking: weak scaling — sequences PER DEVICE constant, POPULATED arenas
+# ---------------------------------------------------------------------------
+
+_TINY = SVOConfig(max_n_kfs=4, max_points=256, max_seeds=256,
+                  img_align_n_iter=5, poseoptim_n_iter=3,
+                  structureoptim_n_iter=2, max_epi_search_steps=16,
+                  ransac_n_trials=8)
+
+
+def _populated_state(w=160, h=120, n_frames=6):
+    """Bootstrap a real synthetic scene so arenas hold live seeds+landmarks
+    (VERDICT r2 weak #3: noise images exercised only dead masks)."""
+    cfg = _TINY.replace(init_min_kps=20, init_min_tracked=15,
+                        init_min_disparity=8.0, init_min_inliers=12,
+                        ransac_n_trials=64, min_reproj_matches=10,
+                        quality_min_fts=10, min_pose_opt_edges=5)
+    cam = synthetic.default_camera(w, h)
+    tex = synthetic.make_texture(jax.random.PRNGKey(5), 1024)
+    handler = fh.FrameHandler(cam, cfg)
+    for i in range(n_frames):
+        p = synthetic.lookdown_pose(0.06 * i, 0.02 * i, -3.0,
+                                    (0.002 * i, 0.0, 0.003 * i))
+        handler.add_image(synthetic.render(tex, cam, p), 0.1 * i)
+    assert handler.stage == fh.STAGE_DEFAULT_FRAME
+    assert int(jnp.sum(handler.vo.seeds.valid)) > 0
+    assert int(jnp.sum(handler.vo.points.valid)) > 0
+    next_img = synthetic.render(tex, cam, synthetic.lookdown_pose(
+        0.06 * n_frames, 0.02 * n_frames, -3.0,
+        (0.002 * n_frames, 0.0, 0.003 * n_frames)))
+    return cfg, cam, handler.vo, next_img
+
+
+def bench_tracking(n_devices: int, seq_per_device: int = 2, _cache={}):
+    """Weak-scaled batched tracking on a POPULATED state replicated over
+    batch = seq_per_device * n_devices sequences, batch axis on "data"."""
+    if "state" not in _cache:
+        _cache["state"] = _populated_state()
+    cfg, cam, vo1, img1 = _cache["state"]
     dims = st.arena_dims(cfg, cam.width, cam.height)
+    batch = seq_per_device * n_devices
     mesh = mesh_lib.make_mesh(n_devices, data=n_devices)
     fn, vo_shard = make_sharded_track(cfg, cam, dims, mesh, batch)
-    vo = jax.device_put(init_batched_state(cfg, cam.width, cam.height,
-                                           batch), vo_shard)
-    imgs = jax.random.uniform(jax.random.PRNGKey(0),
-                              (batch, cam.height, cam.width)) * 255.0
+    vo_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                        vo1)
+    vo = jax.device_put(vo_b, vo_shard)
+    imgs = jnp.broadcast_to(img1, (batch,) + img1.shape)
 
-    # fn donates the state: thread each call's output state into the next
-    # (the natural sequential-tracking usage)
+    inv = None
+    if n_devices > 1:
+        inv = collective_inventory(
+            fn.lower(vo, imgs).compile().as_text())
     vo, out = fn(vo, imgs)
+    assert int(np.asarray(out["n_points"]).min()) > 0
     jax.block_until_ready(out["T_cw"].t)
     n = 5
     t0 = time.perf_counter()
@@ -82,50 +209,52 @@ def bench_tracking(n_devices: int, seq_per_device: int = 2):
         vo, out = fn(vo, imgs)
     jax.block_until_ready(out["T_cw"].t)
     t = (time.perf_counter() - t0) / n
-    return batch / t                              # frames (sequences)/s
-
-
-def bench_ba(n_devices: int, P: int = 16384, O: int = 6, NC: int = 5):
-    """Distributed local BA, landmark axis sharded over `map`."""
-    cfg = SVOConfig(loba_n_iter=5)
-    mesh = mesh_lib.make_mesh(n_devices, data=1)
-    key = jax.random.PRNGKey(1)
-    pos = jax.random.uniform(key, (P, 3), jnp.float32, -1.0, 1.0)
-    pos = pos.at[:, 2].add(4.0)
-    K = 8
-    q_kw = jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (K, 1))
-    t_kw = jnp.stack([jnp.linspace(-0.5, 0.5, K), jnp.zeros(K),
-                      jnp.zeros(K)], -1)
-    obs_kf = jnp.tile(jnp.arange(O, dtype=jnp.int32), (P, 1))
-    xyz = pos[:, None, :] - t_kw[None, :O, :]
-    obs_f = xyz / jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-    valid = jnp.ones((P,), bool)
-    core = jnp.arange(NC, dtype=jnp.int32)
-    fixed = jnp.zeros((NC,), bool).at[0].set(True)
-    fn = make_sharded_ba(cfg, 100.0, mesh)
-    t = timed(lambda: fn(pos, valid, obs_kf, obs_f, q_kw, t_kw, core,
-                         fixed)[3])
-    return cfg.loba_n_iter / t                   # BA iterations/s
+    return batch / t, t, inv
 
 
 def main():
+    n_cores = os.cpu_count()
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
     rows = []
+    projections = {}
     for metric, bench in (("track_seq_per_s", bench_tracking),
                           ("ba_iter_per_s", bench_ba)):
-        base = None
+        t1 = None
         for n in counts:
-            v = bench(n)
-            if base is None:
-                base = v
-            eff = (v / base) / n
-            rows.append({"metric": metric, "n_devices": n,
-                         "value": round(v, 2), "efficiency": round(eff, 3)})
-            print(json.dumps(rows[-1]), flush=True)
+            v, t_step, inv = bench(n)
+            if t1 is None:
+                t1 = t_step
+            # WEAK scaling: per-device work constant => ideal is t(n)=t(1)
+            eff_measured = t1 / t_step
+            row = {"metric": metric, "n_devices": n, "value": round(v, 2),
+                   "sec_per_step": round(t_step, 4),
+                   "efficiency_measured_cpu": round(eff_measured, 3),
+                   "oversubscription": round(max(n / n_cores, 1.0), 1)}
+            if inv:
+                row["collectives"] = inv
+                # real-hardware projection: per-device compute (measured at
+                # n=1) + ICI transfer + per-collective latency
+                t_coll = (inv["bytes_per_step"] / ICI_BW
+                          + inv["n_collectives"] * ICI_LAT)
+                eff_proj = t1 / (t1 + t_coll)
+                row["efficiency_projected_ici"] = round(eff_proj, 3)
+                projections[metric] = round(eff_proj, 3)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    out = {
+        "host_cores": n_cores,
+        "note": ("weak scaling (work/device constant); "
+                 "efficiency_measured_cpu is bounded by host-core "
+                 "oversubscription on the virtual mesh, "
+                 "efficiency_projected_ici applies the measured collective "
+                 "inventory to v5e ICI (45 GB/s, 1 us/op)"),
+        "projected_efficiency": projections,
+        "rows": rows,
+    }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
     with open(path, "w") as f:
-        json.dump(rows, f, indent=1)
+        json.dump(out, f, indent=1)
     print(f"wrote {path}")
 
 

@@ -1,0 +1,185 @@
+"""Per-stage device-time table under the reference's 10 timer names
+(`frame_handler_base.cpp:46-55`).
+
+The live pipeline fuses all stages into ONE jitted program, so host timers
+can't attribute time inside it.  This harness times each stage as its own
+jitted program on REAL steady-state inputs (arenas populated by actually
+tracking a synthetic sequence), `block_until_ready` around a timed loop.
+The per-stage sum exceeds the fused `tot_time` (fusion wins back overlap),
+so the table is an upper bound per stage and `tot_time` is the truth.
+
+Writes STAGE_TABLE.json at the repo root:
+  {"pyramid_creation": ms, ..., "tot_time": ms, "device": ..., "note": ...}
+
+Run on the real TPU:  python scripts/stage_bench.py [--frames 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from android_svo_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_jitted(fn, *args, n_rep: int = 20, n_warm: int = 2):
+    """Median wall ms of a jitted callable (compiles on first call)."""
+    out = None
+    for _ in range(n_warm):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return 1e3 * sorted(ts)[len(ts) // 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--out", default="STAGE_TABLE.json")
+    args = ap.parse_args()
+
+    from android_svo_tpu.config import SVOConfig
+    from android_svo_tpu.core import frame_handler as fh
+    from android_svo_tpu.core import pipeline, state as st
+    from android_svo_tpu.core.pose_opt import optimize_pose
+    from android_svo_tpu.core.point_opt import (optimize_points,
+                                                select_points_for_optim)
+    from android_svo_tpu.core.reprojector import reproject_map
+    from android_svo_tpu.data import synthetic
+    from android_svo_tpu.geometry.se3 import SE3
+    from android_svo_tpu.ops import matcher
+    from android_svo_tpu.ops.pyramid import build_pyramid, stack_from_pyramid
+    from android_svo_tpu.ops.sparse_align import sparse_img_align
+
+    cfg = SVOConfig(init_min_disparity=20.0)
+    cam = synthetic.default_camera(args.width, args.height)
+    dims = st.arena_dims(cfg, cam.width, cam.height)
+    tex = synthetic.make_texture(jax.random.PRNGKey(0), 2048)
+
+    # ---- drive the real pipeline to a populated steady state ---------------
+    handler = fh.FrameHandler(cam, cfg)
+    rj = jax.jit(lambda q, t: synthetic.render(tex, cam, SE3(q=q, t=t)))
+    imgs = []
+    for i in range(args.frames):
+        p = synthetic.lookdown_pose(0.02 * i, 0.006 * i, -3.0,
+                                    (0.002 * i, -0.002 * i, 0.003 * i))
+        imgs.append(rj(p.q, p.t))
+    for i, img in enumerate(imgs):
+        handler.add_image(img, i * 0.05)
+    assert handler.stage == fh.STAGE_DEFAULT_FRAME, handler.stage
+    vo = handler.vo
+    img = imgs[-1]
+    print(f"# populated: {int(np.asarray(vo.points.valid).sum())} points, "
+          f"{int(np.asarray(vo.seeds.valid).sum())} seeds, "
+          f"{int(np.asarray(vo.kfs.valid).sum())} kfs", file=sys.stderr)
+
+    # ---- steady-state inputs for each stage ---------------------------------
+    dtype = jnp.float32
+    cur_stack = stack_from_pyramid(build_pyramid(img, cfg.total_pyr_levels))
+    T_cw = vo.last.T_fw
+    last = vo.last
+    p_w = vo.points.pos[last.ftr_point]
+    depth_last = jnp.linalg.norm(p_w - last.T_fw.inverse().t, axis=-1)
+    has_pt = last.ftr_valid & (last.ftr_point >= 0)
+
+    table = {}
+
+    table["pyramid_creation"] = time_jitted(
+        jax.jit(lambda im: stack_from_pyramid(
+            build_pyramid(im, cfg.total_pyr_levels))), img)
+
+    table["sparse_img_align"] = time_jitted(
+        jax.jit(lambda ls, cs, px, f, d, v: sparse_img_align(
+            ls, cs, cam, SE3.identity(dtype=dtype), px, f, d, v, cfg)),
+        last.stack, cur_stack, last.ftr_px, last.ftr_f, depth_last, has_pt)
+
+    # reproject = whole map-to-frame stage (projection + cell select +
+    # matcher); reproject_kfs / reproject_candidates are its reference
+    # sub-steps — here candidates are projected in the same batched op, so
+    # the split is reproject_kfs ~= reproject - feature_align and
+    # reproject_candidates = 0 (fused; same working set).
+    table["reproject"] = time_jitted(
+        jax.jit(lambda v, cs: reproject_map(v, cs, T_cw, cam, cfg, dims)),
+        vo, cur_stack)
+
+    # feature_align: the batched ICLK the reprojector drives (one round)
+    feats, _, _ = jax.jit(
+        lambda v, cs: reproject_map(v, cs, T_cw, cam, cfg, dims))(vo,
+                                                                  cur_stack)
+    pts = vo.points
+    winner = jnp.maximum(feats["point"], 0)
+    kf_centers = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
+    w_kf = pts.ref_kf[winner]
+    depth_ref = jnp.linalg.norm(
+        pts.pos[winner] - kf_centers[w_kf], axis=-1)
+    T_cur_ref_all = T_cw.compose(SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())
+    T_cur_ref = SE3(q=T_cur_ref_all.q[w_kf], t=T_cur_ref_all.t[w_kf])
+    table["feature_align"] = time_jitted(
+        jax.jit(lambda cs, px, f, d, lv, pxi, v: matcher.find_match_direct(
+            cs, vo.kfs.stack, w_kf, cam, px, f, d, lv, T_cur_ref, pxi, v,
+            cfg)),
+        cur_stack, pts.ref_px[winner], pts.ref_f[winner], depth_ref,
+        pts.ref_level[winner], feats["px"], feats["valid"])
+    table["reproject_kfs"] = max(table["reproject"]
+                                 - 2 * table["feature_align"], 0.0)
+    table["reproject_candidates"] = 0.0   # fused into reproject (see above)
+
+    table["pose_optimizer"] = time_jitted(
+        jax.jit(lambda p, f, lv, v: optimize_pose(
+            T_cw, p, f, lv, v, cam.errorMultiplier2(), cfg)),
+        pts.pos[winner], feats["f"], feats["level"], feats["valid"])
+
+    slots, sel = select_points_for_optim(
+        pts.last_optim, pts.valid & (pts.obs_count >= 2),
+        cfg.structureoptim_max_pts)
+    obs_kf = pts.obs_kf[slots]
+    obs_ok = (obs_kf >= 0) & vo.kfs.valid[jnp.maximum(obs_kf, 0)]
+    ks = jnp.maximum(obs_kf, 0)
+    table["point_optimizer"] = time_jitted(
+        jax.jit(lambda p, q, t, f, ok, s: optimize_points(
+            p, q, t, f, ok, s, cfg.structureoptim_n_iter)),
+        pts.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
+        pts.obs_f[slots], obs_ok, sel)
+
+    table["depth_filter"] = time_jitted(
+        jax.jit(lambda v, cs: pipeline.update_seeds(v, cs, T_cw, cam, cfg)),
+        vo, cur_stack)
+
+    table["local_ba"] = time_jitted(handler._jit_ba, vo, n_rep=5)
+
+    table["tot_time"] = time_jitted(
+        lambda v, im: handler._jit_track(v, im), vo, img)
+
+    table = {k: round(v, 3) for k, v in table.items()}
+    out = {
+        **table,
+        "device": str(jax.devices()[0]),
+        "resolution": f"{args.width}x{args.height}",
+        "note": ("per-stage programs timed standalone on populated state; "
+                 "sum > tot_time because the live step fuses them"),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
