@@ -434,3 +434,32 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
         return vo, out
 
     return track_frame
+
+
+def make_track_scan(cfg: SVOConfig, cam, dims):
+    """Whole-sequence tracking as ONE device program:
+    `track_scan(vo, imgs) -> (vo, outs)` scans `track_frame` over a stacked
+    (N,H,W) image batch with zero host round-trips between frames.
+
+    This is the TPU-native throughput mode for offline/dataset runs (EuRoC
+    evaluation, mapping jobs): the reference's camera-callback -> queue ->
+    tracking-thread loop (`svo_system.cpp:33-73`) is a latency pipeline; on
+    TPU the same steady-state tracking is a `lax.scan`, so frames/s measures
+    device compute, not host<->device dispatch latency.  The host stage
+    machine (`core/frame_handler.py`) still owns bootstrap/relocalization;
+    the scan covers the DEFAULT_FRAME steady state (keyframe insertion
+    included — it is inside `track_frame` under `lax.cond`).  Local BA is
+    excluded, as in the reference where it ran on the mapping thread
+    (`depth_filter.cpp:63-67`), to be dispatched between scans.
+    """
+    track = make_track_frame(cfg, cam, dims)
+
+    def track_scan(vo: st.VOState, imgs: jnp.ndarray):
+        def body(v, img):
+            v, out = track(v, img)
+            return v, {"t_wc": out["t_wc"], "result": out["result"],
+                       "n_matches": out["n_matches"],
+                       "n_edges": out["n_edges"]}
+        return jax.lax.scan(body, vo, imgs)
+
+    return track_scan

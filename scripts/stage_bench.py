@@ -33,19 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_jitted(fn, *args, n_rep: int = 20, n_warm: int = 2):
+def time_jitted(name, fn, *args, n_rep: int = 20, n_warm: int = 2):
     """Median wall ms of a jitted callable (compiles on first call)."""
+    t_start = time.perf_counter()
     out = None
     for _ in range(n_warm):
         out = fn(*args)
     jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t_start
     ts = []
     for _ in range(n_rep):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    return 1e3 * sorted(ts)[len(ts) // 2]
+    med = 1e3 * sorted(ts)[len(ts) // 2]
+    print(f"# {name or 'stage'}: {med:.3f} ms (warm+compile {t_compile:.1f}s)",
+          file=sys.stderr, flush=True)
+    return med
 
 
 def main():
@@ -77,10 +82,14 @@ def main():
     # ---- drive the real pipeline to a populated steady state ---------------
     handler = fh.FrameHandler(cam, cfg)
     rj = jax.jit(lambda q, t: synthetic.render(tex, cam, SE3(q=q, t=t)))
+    import math
     imgs = []
     for i in range(args.frames):
-        p = synthetic.lookdown_pose(0.02 * i, 0.006 * i, -3.0,
-                                    (0.002 * i, -0.002 * i, 0.003 * i))
+        # same slow orbit as bench.py: stays on the texture indefinitely
+        ph = 2.0 * math.pi * i / 120
+        p = synthetic.lookdown_pose(
+            25 * 0.02 * math.sin(ph), 8 * 0.02 * math.cos(ph) - 8 * 0.02,
+            -3.0, (0.0008 * i, -0.0008 * i, 0.001 * i))
         imgs.append(rj(p.q, p.t))
     for i, img in enumerate(imgs):
         handler.add_image(img, i * 0.05)
@@ -102,11 +111,11 @@ def main():
 
     table = {}
 
-    table["pyramid_creation"] = time_jitted(
+    table["pyramid_creation"] = time_jitted("pyramid_creation",
         jax.jit(lambda im: stack_from_pyramid(
             build_pyramid(im, cfg.total_pyr_levels))), img)
 
-    table["sparse_img_align"] = time_jitted(
+    table["sparse_img_align"] = time_jitted("sparse_img_align",
         jax.jit(lambda ls, cs, px, f, d, v: sparse_img_align(
             ls, cs, cam, SE3.identity(dtype=dtype), px, f, d, v, cfg)),
         last.stack, cur_stack, last.ftr_px, last.ftr_f, depth_last, has_pt)
@@ -116,7 +125,7 @@ def main():
     # sub-steps — here candidates are projected in the same batched op, so
     # the split is reproject_kfs ~= reproject - feature_align and
     # reproject_candidates = 0 (fused; same working set).
-    table["reproject"] = time_jitted(
+    table["reproject"] = time_jitted("reproject",
         jax.jit(lambda v, cs: reproject_map(v, cs, T_cw, cam, cfg, dims)),
         vo, cur_stack)
 
@@ -132,7 +141,7 @@ def main():
         pts.pos[winner] - kf_centers[w_kf], axis=-1)
     T_cur_ref_all = T_cw.compose(SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())
     T_cur_ref = SE3(q=T_cur_ref_all.q[w_kf], t=T_cur_ref_all.t[w_kf])
-    table["feature_align"] = time_jitted(
+    table["feature_align"] = time_jitted("feature_align",
         jax.jit(lambda cs, px, f, d, lv, pxi, v: matcher.find_match_direct(
             cs, vo.kfs.stack, w_kf, cam, px, f, d, lv, T_cur_ref, pxi, v,
             cfg)),
@@ -142,7 +151,7 @@ def main():
                                  - 2 * table["feature_align"], 0.0)
     table["reproject_candidates"] = 0.0   # fused into reproject (see above)
 
-    table["pose_optimizer"] = time_jitted(
+    table["pose_optimizer"] = time_jitted("pose_optimizer",
         jax.jit(lambda p, f, lv, v: optimize_pose(
             T_cw, p, f, lv, v, cam.errorMultiplier2(), cfg)),
         pts.pos[winner], feats["f"], feats["level"], feats["valid"])
@@ -153,19 +162,19 @@ def main():
     obs_kf = pts.obs_kf[slots]
     obs_ok = (obs_kf >= 0) & vo.kfs.valid[jnp.maximum(obs_kf, 0)]
     ks = jnp.maximum(obs_kf, 0)
-    table["point_optimizer"] = time_jitted(
+    table["point_optimizer"] = time_jitted("point_optimizer",
         jax.jit(lambda p, q, t, f, ok, s: optimize_points(
             p, q, t, f, ok, s, cfg.structureoptim_n_iter)),
         pts.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
         pts.obs_f[slots], obs_ok, sel)
 
-    table["depth_filter"] = time_jitted(
+    table["depth_filter"] = time_jitted("depth_filter",
         jax.jit(lambda v, cs: pipeline.update_seeds(v, cs, T_cw, cam, cfg)),
         vo, cur_stack)
 
-    table["local_ba"] = time_jitted(handler._jit_ba, vo, n_rep=5)
+    table["local_ba"] = time_jitted("local_ba", handler._jit_ba, vo, n_rep=5)
 
-    table["tot_time"] = time_jitted(
+    table["tot_time"] = time_jitted("tot_time",
         lambda v, im: handler._jit_track(v, im), vo, img)
 
     table = {k: round(v, 3) for k, v in table.items()}

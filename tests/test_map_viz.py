@@ -20,21 +20,26 @@ from android_svo_tpu.viz import (Visualizer, draw_cube, draw_features,
                                  gray_to_rgb, save_ppm)
 
 KEY = jax.random.PRNGKey(11)
-CFG = SVOConfig(max_n_kfs=8, max_points=2048, max_seeds=1024,
-                ransac_n_trials=128, img_align_n_iter=15,
-                init_min_disparity=20.0)
-W, H = 320, 240
+# small config: the fixture only needs a POPULATED map, not VGA fidelity
+# (the full-size end-to-end path is covered by test_pipeline)
+CFG = SVOConfig(max_n_kfs=8, max_points=512, max_seeds=512,
+                ransac_n_trials=64, img_align_n_iter=8,
+                init_min_kps=20, init_min_tracked=15,
+                init_min_disparity=10.0, init_min_inliers=12,
+                min_reproj_matches=10, quality_min_fts=10,
+                min_pose_opt_edges=5)
+W, H = 160, 120
 
 
 @pytest.fixture(scope="module")
 def tracked_handler():
     """A handler that has bootstrapped and tracked a few frames."""
     cam = synthetic.default_camera(W, H)
-    tex = synthetic.make_texture(KEY, 2048)
+    tex = synthetic.make_texture(KEY, 1024)
     handler = fh.FrameHandler(cam, CFG)
-    for i in range(12):
-        pose = synthetic.lookdown_pose(0.05 * i, 0.015 * i, -3.0,
-                                       (0.002 * i, -0.002 * i, 0.004 * i))
+    for i in range(8):
+        pose = synthetic.lookdown_pose(0.04 * i, 0.013 * i, -3.0,
+                                       (0.001 * i, -0.001 * i, 0.002 * i))
         img = synthetic.render(tex, cam, pose)
         handler.add_image(img, i * 0.1)
     assert handler.stage == fh.STAGE_DEFAULT_FRAME

@@ -5,6 +5,7 @@ closed-form tests)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.data import synthetic
@@ -113,6 +114,7 @@ class TestWarpAffine:
 
 
 class TestFindMatchDirect:
+    @pytest.mark.slow
     def test_matches_projected_points(self):
         (cam, cur_stack, kf_stack, feats, T_w_ref, T_w_cur,
          T_cur_ref) = make_pair()

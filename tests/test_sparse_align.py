@@ -4,6 +4,7 @@ scene (SURVEY.md §4 item 3: synthetic-scene integration tests)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.data import synthetic
@@ -39,6 +40,7 @@ def setup_pair(dx=0.05, dy=0.02, drot=0.01, size=640):
 
 
 class TestSparseAlign:
+    @pytest.mark.slow
     def test_recovers_small_motion(self):
         (cfg, cam, ref_stack, cur_stack, px, f, depth, valid,
          T_gt) = setup_pair(dx=0.05, dy=0.02, drot=0.01)
