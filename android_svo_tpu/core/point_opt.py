@@ -47,7 +47,9 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
 
     def chi2_of(p):
         xyz = T.apply(p[:, None, :])                        # (B, O, 3)
-        ok = obs_valid & (xyz[..., 2] > 1e-6)
+        # 1e-2 not 1e-6: guards the f32 normal equations against 1/z^2
+        # Jacobian blowup (see parallel/ba.py depth gate)
+        ok = obs_valid & (xyz[..., 2] > 1e-2)
         z = jnp.where(ok, xyz[..., 2], 1.0)
         e = jnp.stack([xyz[..., 0] / z, xyz[..., 1] / z], axis=-1) - uv_meas
         e = jnp.where(ok[..., None], e, 0.0)

@@ -56,7 +56,10 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
 
     def residuals(T: SE3):
         xyz_f = T.apply(p_w)
-        ok = valid & (xyz_f[..., 2] > 1e-6)
+        # 1e-2 not 1e-6: a point essentially AT the camera plane produces
+        # 1/z^2-scale Jacobians that overflow the f32 normal equations on
+        # TPU (see parallel/ba.py depth gate)
+        ok = valid & (xyz_f[..., 2] > 1e-2)
         z_safe = jnp.where(ok, xyz_f[..., 2], 1.0)
         xyz_safe = xyz_f.at[..., 2].set(z_safe)
         e = (project2d(xyz_safe) - uv_meas) * lvl_scale[:, None]

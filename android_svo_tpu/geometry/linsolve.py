@@ -128,6 +128,16 @@ def solve_spd_loop(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     dtype = H.dtype
     idx = jnp.arange(d)
 
+    # Jacobi preconditioning: factor D^-1/2 H D^-1/2 instead of H.  Schur
+    # systems mix wildly different row scales when a near-degenerate
+    # landmark leaks huge J^T J contributions into one camera block; in f32
+    # on TPU the raw factorization then NaNs (inf - inf in the rank-1
+    # updates).  Normalizing to a unit diagonal keeps every pivot O(1).
+    diag = jnp.diagonal(H)
+    dinv = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(diag), _PIVOT_FLOOR))
+    H = H * dinv[:, None] * dinv[None, :]
+    g = g * dinv
+
     def chol_body(j, M):
         pivot = jnp.sqrt(jnp.maximum(M[j, j], _PIVOT_FLOOR))
         col = M[:, j] / pivot
@@ -156,4 +166,5 @@ def solve_spd_loop(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         xi = (y[i] - jnp.dot(ci, x)) / L[i, i]
         return x.at[i].set(xi)
 
-    return jax.lax.fori_loop(0, d, bwd_body, jnp.zeros((d,), dtype))
+    x = jax.lax.fori_loop(0, d, bwd_body, jnp.zeros((d,), dtype))
+    return x * dinv                                # undo preconditioning

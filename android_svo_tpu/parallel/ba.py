@@ -81,7 +81,12 @@ def _ba_iteration(pos, obs_f, obs_ok, Ehot, q_kw, t_kw, core_slots, fixed,
     kf_idx = jnp.maximum(obs_kf, 0)
     T = SE3(q=q_kw[kf_idx], t=t_kw[kf_idx])                 # (P,O) poses
     xyz = T.apply(pos[:, None, :])                          # (P,O,3)
-    ok = obs_ok & (xyz[..., 2] > 1e-6)
+    # depth gate: a landmark almost AT a camera plane produces zi^2-scale
+    # Jacobians (1e12+) that overflow the f32 Schur algebra on TPU — such
+    # an observation is geometric garbage anyway, so exclude it outright
+    # (1e-2 is ~2% of the map scale; the reference never optimizes points
+    # this close because its matcher gates them out first)
+    ok = obs_ok & (xyz[..., 2] > 1e-2)
     z = jnp.where(ok, xyz[..., 2], 1.0)
     x, y = xyz[..., 0], xyz[..., 1]
     uv_meas = project2d(obs_f)
@@ -137,12 +142,23 @@ def _ba_iteration(pos, obs_f, obs_ok, Ehot, q_kw, t_kw, core_slots, fixed,
                                                  (6 * NC) + 1.0)))
     dxc = solve_spd_loop(S, rhs)                          # (NC*6,)
     dxc = jnp.where(fix, 0.0, dxc).reshape(NC, 6)
+    # f32 safety net: a badly-conditioned reduced system (possible when an
+    # outlier landmark survives the gates) must degrade to "no update", not
+    # poison the keyframe arena — the NLLS-solver-template rollback analog
+    # (nlls_solver_impl.hpp:62-74) for a solver with no chi2 re-check
+    cam_ok = (jnp.all(jnp.isfinite(dxc), axis=-1)
+              & (jnp.linalg.norm(dxc, axis=-1) < 10.0))
+    dxc = jnp.where(cam_ok[:, None], dxc, 0.0)
 
     # back-substitute landmarks: dx_p = -Upp^-1 (bp + H_pc dx_c)
     Hpc_dxc = jnp.einsum("pcjk,cj->pk", G, dxc)             # (P,3)
     dxp = -jnp.einsum("pkl,pl->pk", Upp_inv, bp + Hpc_dxc)
-    has_obs = jnp.any(obs_ok, axis=1)
-    pos_new = jnp.where((point_valid & has_obs)[:, None], pos + dxp, pos)
+    has_obs = jnp.any(ok, axis=1)
+    step_ok = (jnp.all(jnp.isfinite(dxp), axis=-1)
+               & (jnp.linalg.norm(dxp, axis=-1)
+                  < 1.0 + jnp.linalg.norm(pos, axis=-1)))
+    pos_new = jnp.where((point_valid & has_obs & step_ok)[:, None],
+                        pos + dxp, pos)
 
     # apply camera updates: T_kw <- exp(dx) o T_kw
     T_core = SE3(q=q_kw[core_slots], t=t_kw[core_slots])
