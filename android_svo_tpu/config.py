@@ -80,6 +80,17 @@ class SVOConfig:
                                         # (ref frame_handler_mono.cpp:334)
 
     # ---- keyframe policy ------------------------------------------------------
+    kf_select_covisibility: bool = True  # overlap-gated keyframe queries: the
+                                        # reproject working set and the new-KF
+                                        # test only consider keyframes with
+                                        # >= kf_overlap_min_fts landmarks
+                                        # visible in the current frame (ref
+                                        # getCloseKeyframes map.cpp:109-154 +
+                                        # key-point checks frame.cpp:84-146;
+                                        # pure camera distance admits KFs
+                                        # looking away).  False = distance-only
+                                        # (this Android port's needNewKf).
+    kf_overlap_min_fts: int = 1         # visible-landmark count for "overlap"
     kfselect_mindist: float = 0.06      # relative to scene depth (android default)
     max_n_kfs: int = 16                 # keyframe arena capacity (0=unbounded in ref; we
                                         # need a fixed arena — furthest-KF eviction beyond)

@@ -24,7 +24,8 @@ from android_svo_tpu.core import depth_filter as df
 from android_svo_tpu.core import state as st
 from android_svo_tpu.core.pose_opt import optimize_pose
 from android_svo_tpu.core.point_opt import optimize_points, select_points_for_optim
-from android_svo_tpu.core.reprojector import reproject_map, _kf_cam_pos
+from android_svo_tpu.core.reprojector import (reproject_map, _kf_cam_pos,
+                                              keyframe_overlap)
 from android_svo_tpu.geometry.se3 import SE3
 from android_svo_tpu.geometry.triangulation import masked_median
 from android_svo_tpu.ops import detect, interp, matcher
@@ -302,16 +303,25 @@ def insert_keyframe(vo: st.VOState, cur_pyr, cur_stack, T_cw: SE3, feats,
     return vo.replace(kfs=kfs, points=pts, seeds=seeds, kf_batch=batch)
 
 
-def need_new_keyframe(vo: st.VOState, T_cw: SE3, scene_depth,
+def need_new_keyframe(vo: st.VOState, T_cw: SE3, scene_depth, cam,
                       cfg: SVOConfig):
     """Keyframe policy (ref needNewKf, frame_handler_mono.cpp:391-403):
     new KF iff no existing keyframe is within `kfselect_mindist` x scene
-    depth of the current camera."""
+    depth of the current camera.
+
+    The reference iterates `overlap_kfs` — the COVISIBLE keyframes from
+    getCloseKeyframes (map.cpp:109-154) — not all keyframes; with
+    `cfg.kf_select_covisibility` we match that: a nearby keyframe looking
+    away must not suppress a new keyframe (rotation-heavy motion)."""
     cam_pos = T_cw.inverse().t
     kf_pos = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
     rel = jnp.linalg.norm(kf_pos - cam_pos, axis=-1) / jnp.maximum(
         scene_depth, 1e-6)
-    rel = jnp.where(vo.kfs.valid, rel, jnp.inf)
+    usable = vo.kfs.valid
+    if cfg.kf_select_covisibility:
+        overlap = keyframe_overlap(vo, T_cw, cam, cfg)
+        usable = usable & (overlap >= cfg.kf_overlap_min_fts)
+    rel = jnp.where(usable, rel, jnp.inf)
     return jnp.all(rel > cfg.kfselect_mindist)
 
 
@@ -401,7 +411,7 @@ def make_track_frame(cfg: SVOConfig, cam, dims):
         scene_depth = masked_median(xyz_cur[..., 2], okd)
         scene_depth = jnp.where(jnp.isfinite(scene_depth), scene_depth, 1.0)
         make_kf = (~failure) & need_new_keyframe(vo, T_final, scene_depth,
-                                                 cfg)
+                                                 cam, cfg)
 
         vo = jax.lax.cond(
             make_kf,

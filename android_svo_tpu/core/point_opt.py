@@ -37,8 +37,9 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
         (per-point (1+mu) diagonal damping with grow-on-fail /
         relax-on-success schedule, nlls_solver_impl.hpp:103-229).
 
-    Returns (pos_new, chi2) with best-so-far rollback per point
-    (ref point.cpp:166-173: revert if chi2 increases).
+    Returns (pos_new, chi2).  Steps that fail to reduce a point's chi2 are
+    rejected in-iteration (ref point.cpp:166-173: revert if chi2 increases),
+    so the returned iterate is monotonically no worse than the input.
     """
     dtype = pos.dtype
     lm = method == "lm"
@@ -57,7 +58,7 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
 
     def body(it, carry):
         del it
-        p, best_p, best_chi2, mu = carry
+        p, mu = carry
         chi2, e, xyz, ok, z = chi2_of(p)
         zi = 1.0 / z
         zi2 = zi * zi
@@ -78,22 +79,21 @@ def optimize_points(pos: jnp.ndarray, obs_q_kw: jnp.ndarray,
             H = H + mu[:, None, None] * (H * eye)
         H = H + 1e-8 * jnp.eye(3, dtype=dtype)
         dx = solve_spd(H, -g)
-        improved = chi2 < best_chi2
-        best_p = jnp.where(improved[:, None], p, best_p)
-        best_chi2 = jnp.where(improved, chi2, best_chi2)
+        # trust-region acceptance: evaluate the post-step chi2 and reject
+        # worsening steps per point (ref point.cpp:166-173 reverts and
+        # breaks; LM additionally adapts mu, nlls_solver_impl.hpp:176-210)
+        p_try = p + dx
+        chi2_new, *_ = chi2_of(p_try)
+        accept = point_valid & (chi2_new < chi2)
+        p = jnp.where(accept[:, None], p_try, p)
         if lm:
-            mu = jnp.where(improved, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
-        p_new = jnp.where(point_valid[:, None], p + dx, p)
-        return (p_new, best_p, best_chi2, mu)
+            mu = jnp.where(accept, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
+        return (p, mu)
 
-    init = (pos, pos, jnp.full(pos.shape[:1], jnp.inf, dtype),
-            jnp.full(pos.shape[:1], 0.01, dtype))
-    p, best_p, best_chi2, _ = jax.lax.fori_loop(0, n_iter, body, init)
-    chi2_last, *_ = chi2_of(p)
-    use_last = chi2_last < best_chi2
-    p_out = jnp.where(use_last[:, None], p, best_p)
-    chi2_out = jnp.minimum(chi2_last, best_chi2)
-    return p_out, chi2_out
+    init = (pos, jnp.full(pos.shape[:1], 0.01, dtype))
+    p, _ = jax.lax.fori_loop(0, n_iter, body, init)
+    chi2_out, *_ = chi2_of(p)
+    return p, chi2_out
 
 
 def select_points_for_optim(last_optim: jnp.ndarray, valid: jnp.ndarray,

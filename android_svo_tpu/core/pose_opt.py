@@ -7,7 +7,11 @@ Reference semantics reproduced:
     reprojected landmark, scaled by 1/2^level (pyramid-level covariance
     weighting, pose_optimizer.cpp:45-49);
   * robust scale via MAD on the initial residuals (:51-64), Tukey weights;
-  * fixed GN iteration count with best-so-far rollback (:69-117);
+  * fixed GN iteration count with per-step trust-region acceptance: the
+    post-step chi2 is evaluated in-iteration and worsening steps are
+    rejected (the reference's lagged `new_chi2 > chi2*1.2` rollback, :107,
+    done one step earlier so the scale override at iteration 5 can never
+    cause a cross-scale chi2 comparison);
   * final outlier classification against `reproj_thresh/focal` per level,
     returning an inlier mask instead of deleting features (:148-162);
   * pose covariance from the final normal equations (:142).
@@ -73,18 +77,26 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
     scale = jnp.maximum(scale, 1e-7)
     chi2_init = jnp.sum(enorm0 * enorm0)
 
-    def body(it, carry):
-        q, t, bq, bt, bchi2, mu = carry
-        # scale override at iteration 5 (ref pose_optimizer.cpp:74-75:
-        # `if(iter == 5) scale = 0.85/errorMultiplier2()`) — re-seats the
-        # Tukey scale at ~1px once the pose has roughly converged
-        it_scale = jnp.where(it >= 5, jnp.asarray(0.85 / focal, dtype),
-                             scale)
-        T = SE3(q=q, t=t)
+    def weighted_chi2(T: SE3, it_scale):
         e, xyz_f, ok = residuals(T)
         enorm = jnp.linalg.norm(e, axis=-1)
         w = robust.tukey_weight(enorm / it_scale) * ok.astype(dtype)
-        chi2 = jnp.sum(w * enorm * enorm)
+        return jnp.sum(w * enorm * enorm), e, xyz_f, ok, w
+
+    def body(it, carry):
+        q, t, mu = carry
+        # scale override at iteration 5 (ref pose_optimizer.cpp:74-75:
+        # `if(iter == 5) scale = 0.85/errorMultiplier2()`) — re-seats the
+        # Tukey scale at ~1px once the pose has roughly converged.  The
+        # step-acceptance test below compares chi2 of the pre- and post-step
+        # iterates under the SAME scale, so the switch never causes a bogus
+        # rejection (the reference's `new_chi2 > chi2*1.2` rollback compares
+        # across the switch, which silently discards post-switch progress
+        # whenever MAD << 0.85px — a trap this trust-region form avoids).
+        it_scale = jnp.where(it >= 5, jnp.asarray(0.85 / focal, dtype),
+                             scale)
+        T = SE3(q=q, t=t)
+        chi2, e, xyz_f, ok, w = weighted_chi2(T, it_scale)
         J = _geo_jacobian(xyz_f) * lvl_scale[:, None, None]  # (C,2,6)
         Jw = J * w[:, None, None]
         H = jnp.einsum("cij,cik->jk", Jw, J)
@@ -95,32 +107,27 @@ def optimize_pose(T_fw_init: SE3, p_w: jnp.ndarray, f_meas: jnp.ndarray,
         H = H + 1e-6 * jnp.eye(6, dtype=dtype) * (jnp.trace(H) / 6.0 + 1.0)
         dx = solve_spd(H, -g)
         T_new = SE3.exp(dx).compose(T).normalize()
-        improved = chi2 < bchi2
-        bq = jnp.where(improved, q, bq)
-        bt = jnp.where(improved, t, bt)
-        bchi2 = jnp.where(improved, chi2, bchi2)
+        # trust-region acceptance: evaluate the post-step chi2 in-iteration
+        # (cheap: reprojection residuals only, no image access) and reject
+        # non-improving steps, restoring the previous iterate — the proper
+        # form of the reference's roll-back (nlls_solver_impl.hpp:176-210)
+        chi2_new, *_ = weighted_chi2(T_new, it_scale)
+        accept = chi2_new < chi2
+        q = jnp.where(accept, T_new.q, q)
+        t = jnp.where(accept, T_new.t, t)
         if lm:
             # grow damping on failure, relax on success
             # (ref nlls_solver_impl.hpp:176-210)
-            mu = jnp.where(improved, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
-        # keep stepping from the new estimate (rollback happens via best-so-far)
-        return (T_new.q, T_new.t, bq, bt, bchi2, mu)
+            mu = jnp.where(accept, jnp.maximum(mu / 3.0, 1e-8), mu * 10.0)
+        return (q, t, mu)
 
-    init = (T_fw_init.q, T_fw_init.t, T_fw_init.q, T_fw_init.t,
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(0.01, dtype))
-    q, t, bq, bt, bchi2, _ = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body,
-                                               init)
-    # post-loop evaluations use the final scale (overridden when >5 iters ran)
+    init = (T_fw_init.q, T_fw_init.t, jnp.asarray(0.01, dtype))
+    q, t, _ = jax.lax.fori_loop(0, cfg.poseoptim_n_iter, body, init)
+    # every accepted step improved chi2 under its iteration's scale, so the
+    # final iterate IS the best iterate (no post-hoc selection needed)
     scale = jnp.where(cfg.poseoptim_n_iter > 5,
                       jnp.asarray(0.85 / focal, dtype), scale)
-    # evaluate the last iterate too (fori_loop ends after stepping)
-    T_last = SE3(q=q, t=t)
-    e, xyz_f, ok = residuals(T_last)
-    enorm = jnp.linalg.norm(e, axis=-1)
-    w = robust.tukey_weight(enorm / scale) * ok.astype(dtype)
-    chi2_last = jnp.sum(w * enorm * enorm)
-    use_last = chi2_last < bchi2
-    T_out = SE3(q=jnp.where(use_last, q, bq), t=jnp.where(use_last, t, bt))
+    T_out = SE3(q=q, t=t)
 
     # final classification + covariance (ref :142-162)
     e, xyz_f, ok = residuals(T_out)

@@ -87,6 +87,36 @@ def closest_view_obs(pts: st.PointArena, kfs: st.KeyframeArena,
     return src_kf, src_px, src_level, src_f, angle_ok
 
 
+def keyframe_overlap(vo: st.VOState, T_cw: SE3, cam,
+                     cfg: SVOConfig) -> jnp.ndarray:
+    """Per-keyframe count of its landmarks visible in the current frame —
+    the covisibility-overlap query (ref Map::getCloseKeyframes,
+    map.cpp:109-154, which tests each keyframe's 5 spread "key points" for
+    visibility, frame.cpp:84-146 setKeyPoints/checkKeyPoints).
+
+    TPU-native: instead of 5 hand-picked key points per frame we project
+    every keyframe's full cell-feature table in one batched op — (K, C)
+    points through one transform — which is the same test with a denser
+    sample.  Returns (K,) int32 visible-landmark counts (0 for invalid
+    keyframes).
+    """
+    kfs = vo.kfs
+    pts = vo.points
+    K = kfs.ftr_point.shape[0]
+    pid = jnp.maximum(kfs.ftr_point, 0)                     # (K,C)
+    pos = pts.pos[pid]                                      # (K,C,3)
+    ok = (kfs.ftr_valid & (kfs.ftr_point >= 0) & pts.valid[pid]
+          & kfs.valid[:, None])
+    xyz = T_cw.apply(pos.reshape(-1, 3)).reshape(pos.shape)
+    in_front = xyz[..., 2] > 1e-3
+    z_safe = jnp.where(in_front, xyz[..., 2], 1.0)
+    px = cam.world2cam(xyz.at[..., 2].set(z_safe))
+    vis = ok & in_front & interp.in_bounds(
+        px.reshape(-1, 2), cam.height, cam.width,
+        cfg.patch_halfsize + 2).reshape(ok.shape)
+    return jnp.sum(vis, axis=-1).astype(jnp.int32)
+
+
 def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
                   cfg: SVOConfig, dims):
     """Returns (features, points', n_matches) where features is the per-cell
@@ -111,15 +141,20 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
         pts, vo.kfs, cam_pos_w, cfg)
 
     # working set: points whose patch source lies in one of the
-    # `max_n_kfs_reproject` closest keyframes (ref reprojector.cpp:94:
-    # "overlap_kfs" loop bounded by options_.max_n_kfs)
+    # `max_n_kfs_reproject` closest OVERLAPPING keyframes (ref
+    # reprojector.cpp:82-94: getCloseKeyframes = covisibility test,
+    # map.cpp:109-154, then sort by distance and cap at max_n_kfs)
     kf_pos = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t  # (K,3)
     kf_dist = jnp.linalg.norm(kf_pos - cam_pos_w, axis=-1)
-    kf_dist = jnp.where(vo.kfs.valid, kf_dist, jnp.inf)
+    kf_usable = vo.kfs.valid
+    if cfg.kf_select_covisibility:
+        overlap = keyframe_overlap(vo, T_cw, cam, cfg)
+        kf_usable = kf_usable & (overlap >= cfg.kf_overlap_min_fts)
+    kf_dist = jnp.where(kf_usable, kf_dist, jnp.inf)
     K = kf_dist.shape[0]
     n_close = min(cfg.max_n_kfs_reproject, K)
     close_thresh = jnp.sort(kf_dist)[n_close - 1]
-    kf_close = vo.kfs.valid & (kf_dist <= close_thresh)
+    kf_close = kf_usable & (kf_dist <= close_thresh)
     src_in_close = kf_close[jnp.clip(src_kf, 0, K - 1)]
 
     visible = (pts.valid & in_front
@@ -191,6 +226,17 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
             "valid": feats["valid"] | upd,
         }
         need = need & ~success
+    # global match budget (ref reprojector.cpp:152-167: the grid walk stops
+    # once maxFts cells have matched).  In this batched fixed-shape design
+    # the alignment cost is O(C) regardless, so the budget exists for
+    # behavioral parity (bounding downstream per-feature work), not kernel
+    # savings; cells are truncated in index order where the reference's
+    # shuffled walk is random.  Inert at defaults (C < max_fts).
+    if cfg.max_fts < feats["valid"].shape[0]:
+        rank = jnp.cumsum(feats["valid"].astype(jnp.int32))
+        keep = feats["valid"] & (rank <= cfg.max_fts)
+        feats["valid"] = keep
+        feats["point"] = jnp.where(keep, feats["point"], -1)
     n_succ = pts.n_succ + succ_add
     n_fail = pts.n_fail + fail_add
     ptype = pts.ptype

@@ -52,6 +52,29 @@ def make_texture(key, size: int = 1024, octaves: int | None = None) -> jnp.ndarr
     return (mixed * 255.0).astype(jnp.float32)
 
 
+def make_edge_texture(key, size: int = 1024,
+                      noise_band: float = 0.18) -> jnp.ndarray:
+    """Low-corner, edge-rich texture for edgelet-path testing.
+
+    Concentric intensity rings give strong step edges in every orientation
+    but almost no corners (FAST's ring test and Shi-Tomasi both need two
+    gradient directions), so grid cells fall back to EDGELET features
+    (ref feature.h:31).  A thin noise band keeps enough corners for the
+    two-frame bootstrap, which needs point features.
+    """
+    idx = jnp.arange(size, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(idx, idx, indexing="ij")
+    c = size / 2.0
+    r = jnp.sqrt((xx - c) ** 2 + (yy - c) ** 2)
+    rings = (jnp.floor(r / 28.0) % 2) * 200.0 + 25.0
+    # gentle radial ramp so "flat" regions are not exactly constant
+    rings = rings + 0.01 * r
+    noise = make_texture(key, size)
+    band = (jnp.abs((yy / size) - 0.5) < noise_band / 2).astype(jnp.float32)
+    img = rings * (1 - band) + noise * band
+    return jnp.clip(img, 0.0, 255.0)
+
+
 def default_camera(width: int = 640, height: int = 480) -> PinholeCamera:
     return PinholeCamera.create(width, height, 420.0, 420.0,
                                 width / 2.0 - 0.5, height / 2.0 - 0.5)

@@ -172,7 +172,10 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
             # |grad| pixel per cell, direction = image gradient normal)
             dx = jnp.zeros_like(img).at[:, 1:-1].set(img[:, 2:] - img[:, :-2])
             dy = jnp.zeros_like(img).at[1:-1, :].set(img[2:, :] - img[:-2, :])
-            gmag = _mask_margin(dx * dx + dy * dy, EDGE_MARGIN)
+            # central differences span 2 px: x0.5 so the squared magnitude
+            # is in true per-pixel gradient units and `edgelet_grad_min`
+            # thresholds |grad|, not |grad|/2
+            gmag = _mask_margin(0.25 * (dx * dx + dy * dy), EDGE_MARGIN)
             gmag = jnp.pad(gmag, ((0, ph - hl), (0, pw - wl)),
                            constant_values=0.0)
             emax, eyl, exl = _cell_reduce(gmag, n_rows, n_cols, gl)
@@ -227,10 +230,14 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
         valid = valid & ~occupied_cells
     if n_cells > cfg.max_fts:
         # feature budget (ref config.cpp:82 max_fts): keep only the
-        # best-scoring max_fts cells when the grid offers more
-        kth = jnp.sort(jnp.where(valid, score, -jnp.inf))[
+        # best-scoring max_fts cells when the grid offers more.  Corner and
+        # edgelet scores are incommensurate units (Shi-Tomasi eigenvalue vs
+        # squared gradient), so corners rank strictly above edgelets —
+        # edgelets only consume budget corners left unused.
+        rank_key = jnp.where(ftype == FTYPE_CORNER, score + 1e9, score)
+        kth = jnp.sort(jnp.where(valid, rank_key, -jnp.inf))[
             n_cells - cfg.max_fts]
-        valid = valid & (score >= kth)
+        valid = valid & (rank_key >= kth)
     return {"px": xy, "level": lvl, "score": score, "valid": valid,
             "ftype": ftype, "grad": grad}
 

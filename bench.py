@@ -11,11 +11,16 @@ chip, reported in the output.  Real EuRoC data is not available here (zero
 egress), so the bench renders a textured-plane sequence with exact ground
 truth — same resolution class (VGA), same pipeline path as a dataset run.
 
-Reporting (ref frame_handler split, depth_filter.cpp:63-67): `value` is
-steady-state tracking fps over ALL frames including keyframe insertion and
-the (asynchronously dispatched) local BA — the honest end-to-end number;
-`fps_track_only` excludes keyframe frames, isolating the per-frame tracking
-cost the reference's 10-timer table measures.
+Headline semantics: `value` is the FORWARD device-scan throughput from the
+post-bootstrap state over frames the tracker has never seen — keyframe
+insertion (detection, seed spawning, arena writes, furthest-KF eviction)
+fires INSIDE the timed scan (`n_kf_scan`/`n_evict_scan` in the output prove
+it), and the async local-BA dispatch is interleaved between scan chunks at
+its keyframe cadence, inside the timed region.  `fps_host_loop` is the
+latency-mode number (one host dispatch per frame, paying 2 tunnel
+round-trips of `dispatch_ms` each); `fps_track_only` is its
+non-keyframe-frame median, the per-frame tracking cost the reference's
+10-timer table measures.
 """
 
 from __future__ import annotations
@@ -30,10 +35,17 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--frames", type=int, default=120,
+                    help="frames in the timed forward scan")
+    ap.add_argument("--warm-frames", type=int, default=28,
+                    help="host-loop frames before the scan (bootstrap + "
+                         "steady state)")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--step", type=float, default=0.02)
+    ap.add_argument("--chunk", type=int, default=24,
+                    help="scan chunk length; local BA is dispatched between "
+                         "chunks (async-BA cadence)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny/fast config for plumbing checks")
     ap.add_argument("--cpu", action="store_true",
@@ -95,6 +107,27 @@ def probe_dispatch_ms(jax, n=20):
     return sorted(ts)[n // 2] * 1e3
 
 
+def make_poses(synthetic, n, step, smoke):
+    """Slow orbit over the textured plane, pitched off fronto-parallel.
+
+    The orbit keeps every frame trackable while exercising keyframe
+    creation/eviction and parallax in both axes; the 0.45 rad pitch gives
+    the scene real depth variation — an exactly fronto-parallel plane is
+    DEGENERATE for monocular VO (translation flow is uniform, so a
+    compensating rotation absorbs it and trajectory scale collapses).
+    """
+    import math
+    poses = []
+    period = 120 if smoke else max(n, 1)
+    for i in range(n):
+        ph = 2.0 * math.pi * i / period
+        poses.append(synthetic.lookdown_pose(
+            25 * step * math.sin(ph),
+            8 * step * math.cos(ph) - 8 * step, -3.0,
+            (0.45 + 0.0008 * i, -0.0008 * i, 0.001 * i)))
+    return poses
+
+
 def run_bench(args):
     if args.cpu:
         os.environ.pop("JAX_PLATFORMS", None)
@@ -106,6 +139,8 @@ def run_bench(args):
 
     if args.smoke:
         args.frames = 16
+        args.warm_frames = 14
+        args.chunk = 8
         args.width, args.height = 320, 240
         args.step = 0.05
 
@@ -128,38 +163,27 @@ def run_bench(args):
     from android_svo_tpu.data import synthetic
     from android_svo_tpu.evals.trajectory import ate_rmse
 
-    cfg = SVOConfig(init_min_disparity=20.0)
+    # max_n_kfs=8: the orbit creates more keyframes than slots, so
+    # furthest-KF eviction + landmark re-anchoring run INSIDE the timed
+    # scan (ref frame_handler_mono.cpp:303-308)
+    cfg = SVOConfig(init_min_disparity=20.0, max_n_kfs=8)
     if args.smoke:
         # plumbing check: small arenas + gates relaxed so the 16-frame
         # fraction-of-an-orbit stays tracked through the scan path
-        cfg = cfg.replace(max_n_kfs=8, max_points=2048, max_seeds=1024,
+        cfg = cfg.replace(max_points=2048, max_seeds=1024,
                           ransac_n_trials=128, img_align_n_iter=15,
                           min_reproj_matches=15, quality_min_fts=15,
                           min_pose_opt_edges=8)
 
     from android_svo_tpu.utils.profiling import PerformanceMonitor
+    from android_svo_tpu.geometry.se3 import SE3
 
     cam = synthetic.default_camera(args.width, args.height)
     tex = synthetic.make_texture(jax.random.PRNGKey(0), 2048)
 
     # pre-render the sequence on device (not timed)
-    from android_svo_tpu.geometry.se3 import SE3
-
-    import math
-    poses = []
-    for i in range(args.frames):
-        # slow orbit over the textured plane: a pure linear sweep walks off
-        # the texture after ~100 frames of args.step and legitimately loses
-        # tracking; the orbit keeps every frame trackable while still
-        # exercising keyframe creation/eviction and parallax in both axes
-        # smoke runs cover a fraction of one orbit at full-run per-frame
-        # motion (12-frame full orbits would jump too far per frame)
-        period = 120 if args.smoke else max(args.frames, 1)
-        ph = 2.0 * math.pi * i / period
-        poses.append(synthetic.lookdown_pose(
-            25 * args.step * math.sin(ph),
-            8 * args.step * math.cos(ph) - 8 * args.step, -3.0,
-            (0.0008 * i, -0.0008 * i, 0.001 * i)))
+    n_total = args.warm_frames + args.frames
+    poses = make_poses(synthetic, n_total, args.step, args.smoke)
     imgs = []
     rj = jax.jit(lambda q, t: synthetic.render(tex, cam, SE3(q=q, t=t)))
     for p in poses:
@@ -171,91 +195,112 @@ def run_bench(args):
     pm = PerformanceMonitor(trace_path="TRACE_bench.jsonl")
     handler = fh.FrameHandler(cam, cfg)
 
-    def run_sequence(n_frames=None):
-        est, gt = [], []
-        n_fail = 0
-        frame_ms = []        # (ms, was_keyframe) for steady-state frames
-        seq = list(zip(imgs, poses))[:n_frames]
-        for i, (img, pose_gt) in enumerate(seq):
-            timed = handler.stage == fh.STAGE_DEFAULT_FRAME and i > 8
-            t0 = time.perf_counter()
-            res = handler.add_image(img, i * 0.05)
-            dt = time.perf_counter() - t0
-            if timed:
-                frame_ms.append((dt * 1e3,
-                                 res.result == pipeline.RES_IS_KEYFRAME))
-            if handler.stage == fh.STAGE_DEFAULT_FRAME:
-                t = np.asarray(res.t_wc) if res.t_wc is not None \
-                    else np.asarray(res.T_cw.inverse().t)
-                if np.isfinite(t).all():
-                    est.append(t)
-                    gt.append(np.asarray(pose_gt.t))
-                else:
-                    n_fail += 1
-                if res.result == pipeline.RES_FAILURE:
-                    n_fail += 1
-        return est, gt, n_fail, frame_ms
-
-    # short warmup pass: compiles every program (track step, detection,
-    # keyframe branch, BA) without hammering the flaky worker for the full
-    # sequence; the timed pass then measures steady-state throughput
-    run_sequence(n_frames=max(16, args.frames // 6))
-    handler.reset()
+    # ---- host-loop pass (latency mode + warmup) ---------------------------
+    # bootstraps the map, compiles every program, and measures the
+    # per-frame host-dispatch mode over the warm segment
     handler.perf_mon = pm
-    est, gt, n_fail, frame_ms = run_sequence()
+    est_h, gt_h = [], []
+    n_fail = 0
+    frame_ms = []                       # (ms, was_keyframe)
+    for i in range(args.warm_frames):
+        timed = handler.stage == fh.STAGE_DEFAULT_FRAME and i > 8
+        t0 = time.perf_counter()
+        res = handler.add_image(imgs[i], i * 0.05)
+        dt = time.perf_counter() - t0
+        if timed:
+            frame_ms.append((dt * 1e3,
+                             res.result == pipeline.RES_IS_KEYFRAME))
+        if handler.stage == fh.STAGE_DEFAULT_FRAME:
+            t = np.asarray(res.t_wc) if res.t_wc is not None \
+                else np.asarray(res.T_cw.inverse().t)
+            if np.isfinite(t).all():
+                est_h.append(t)
+                gt_h.append(np.asarray(poses[i].t))
+            else:
+                n_fail += 1
+            if res.result == pipeline.RES_FAILURE:
+                n_fail += 1
 
-    # robust throughput: the axon worker can degrade MID-run (dispatches
-    # suddenly 10-25x slower).  The median frame time over the healthy
-    # prefix is the honest steady-state number; a degraded tail is
-    # reported, not averaged in.
+    # host-loop stats.  Health thresholds are computed separately for
+    # keyframe and plain tracking frames — keyframe frames are legitimately
+    # several times slower and must not trip the degradation heuristic.
     all_ms = np.array([m for m, _ in frame_ms])
     kf_mask = np.array([k for _, k in frame_ms], bool)
     n_all = len(all_ms)
     if n_all:
-        med0 = np.median(all_ms[: max(10, n_all // 4)])
-        healthy = all_ms < 3.0 * med0
+        track_ms_arr = all_ms[~kf_mask]
+        med_t = np.median(track_ms_arr) if len(track_ms_arr) else np.inf
+        healthy = np.where(kf_mask, True, all_ms < 3.0 * med_t)
         n_healthy = int(healthy.sum())
-        fps = 1e3 / np.median(all_ms[healthy]) if n_healthy else 0.0
+        fps_host = 1e3 / np.median(all_ms[healthy]) if n_healthy else 0.0
         track_only = all_ms[healthy & ~kf_mask]
-        fps_track = 1e3 / np.median(track_only) if len(track_only) else fps
+        fps_track = (1e3 / np.median(track_only)) if len(track_only) \
+            else fps_host
         degraded_tail = n_healthy < 0.9 * n_all
     else:
-        fps = fps_track = 0.0
+        fps_host = fps_track = 0.0
         n_healthy = 0
         degraded_tail = True
-    est, gt = np.array(est), np.array(gt)
-    ate = ate_rmse(est, gt) if len(est) >= 4 else -1.0
 
-    # device-scan throughput: the whole steady-state sequence as ONE
-    # dispatch (`pipeline.make_track_scan` — lax.scan over frames).  This is
-    # the TPU-native offline/dataset mode and the honest DEVICE number: the
-    # host loop above pays 2 tunnel round-trips per frame (dispatch_ms
-    # each), which a real deployment (or a healthy session) does not.
+    # ---- timed FORWARD device scan ----------------------------------------
+    # The deployment/throughput mode: the remaining frames (never seen by
+    # the tracker) as chunked lax.scan dispatches, local BA dispatched
+    # between chunks (the reference ran BA on the mapping thread so
+    # tracking never blocked on it, depth_filter.cpp:63-67; here the device
+    # pipeline absorbs it between chunks).  Keyframe insertion fires inside
+    # the scan — `n_kf_scan` must be > 0 for the headline to be valid.
     fps_scan = 0.0
     ate_scan = -1.0
     scan_failures = -1
+    n_kf_scan = 0
+    n_evict_scan = 0
     if handler.stage == fh.STAGE_DEFAULT_FRAME:
         import jax.numpy as jnp
         scan = jax.jit(pipeline.make_track_scan(cfg, cam, handler.dims))
-        # after the host pass the tracker state sits at the LAST frame's
-        # pose, so retracing the sequence backwards is a seamless
-        # continuation for any trajectory
-        imgs_arr = jnp.stack(imgs[::-1])
+        scan_imgs = jnp.stack(imgs[args.warm_frames:])
+        n_scan = scan_imgs.shape[0]
+        chunk = max(1, min(args.chunk, n_scan))
+        n_chunks = n_scan // chunk
+        chunks = [scan_imgs[j * chunk:(j + 1) * chunk]
+                  for j in range(n_chunks)]
+
+        def run_scan(vo):
+            outs_all = []
+            for c in chunks:
+                vo, outs = scan(vo, c)
+                vo = handler._jit_ba(vo)
+                outs_all.append(outs)
+            jax.block_until_ready(vo.kfs.q_kw)
+            return vo, outs_all
+
         vo0 = handler.vo
-        vo1, outs = scan(vo0, imgs_arr)
-        jax.block_until_ready(outs["t_wc"])          # compile + warm
+        kf_before = int(np.asarray(vo0.kfs.valid).sum())
+        kfid_before = set(np.asarray(vo0.kfs.frame_id)[
+            np.asarray(vo0.kfs.valid)].tolist())
+        vo1, outs_all = run_scan(vo0)    # compile + warm
         t0 = time.perf_counter()
-        vo1, outs = scan(vo0, imgs_arr)
-        jax.block_until_ready(outs["t_wc"])
+        vo1, outs_all = run_scan(vo0)
         dt_scan = time.perf_counter() - t0
-        fps_scan = args.frames / dt_scan
-        res_arr = np.asarray(outs["result"])
+        fps_scan = (n_chunks * chunk) / dt_scan
+        outs = {k: np.concatenate([np.asarray(o[k]) for o in outs_all])
+                for k in outs_all[0]}
+        res_arr = outs["result"]
         scan_failures = int((res_arr == pipeline.RES_FAILURE).sum())
-        t_scan = np.asarray(outs["t_wc"])
-        gt_scan = np.array([np.asarray(p.t) for p in poses[::-1]])
-        okf = np.isfinite(t_scan).all(axis=1)
+        n_kf_scan = int((res_arr == pipeline.RES_IS_KEYFRAME).sum())
+        kfid_after = set(np.asarray(vo1.kfs.frame_id)[
+            np.asarray(vo1.kfs.valid)].tolist())
+        n_evict_scan = len(kfid_before - kfid_after)
+        t_scan = outs["t_wc"]
+        gt_scan = np.array([np.asarray(p.t) for p in
+                            poses[args.warm_frames:
+                                  args.warm_frames + n_chunks * chunk]])
+        okf = np.isfinite(t_scan).all(axis=1) & \
+            (res_arr != pipeline.RES_FAILURE)
         if okf.sum() >= 4:
             ate_scan = ate_rmse(t_scan[okf], gt_scan[okf])
+
+    est_h, gt_h = np.array(est_h), np.array(gt_h)
+    ate_host = ate_rmse(est_h, gt_h) if len(est_h) >= 4 else -1.0
 
     # BA iterations/s (BASELINE.md primary metric): time the jitted local-BA
     # program over the populated keyframe window
@@ -273,27 +318,28 @@ def run_bench(args):
         ba_iter_per_s = max(cfg.loba_n_iter, 1) / dt
 
     # re-probe: if the session degraded DURING the run, the numbers are
-    # suspect — report honestly and let the wrapper retry
+    # suspect — do not publish, let the wrapper retry (VERDICT r3 #5: a
+    # degraded END probe retries rather than publishing)
     dispatch_ms = probe_dispatch_ms(jax)
     degraded = dispatch_ms > 0.3
 
     pm.close()
     summary = pm.summary()
-    # headline = device-scan throughput (the deployment mode: one dispatch
-    # per sequence), falling back to the host-loop number if the scan could
-    # not run; the host-loop fps and dispatch_ms stay visible so the tunnel
-    # tax is auditable
-    fps_headline = fps_scan if fps_scan > 0 else fps
+    # headline = forward-scan throughput with keyframe work included; the
+    # host-loop number is the fallback when the scan could not run
+    fps_headline = fps_scan if fps_scan > 0 else fps_host
     print(json.dumps({
         "metric": "frames_per_second",
         "value": round(float(fps_headline), 2),
         "unit": "fps",
         "vs_baseline": round(float(fps_headline) / 200.0, 3),
-        "fps_device_scan": round(float(fps_scan), 2),
-        "fps_host_loop": round(float(fps), 2),
+        "fps_forward_scan": round(float(fps_scan), 2),
+        "n_kf_scan": n_kf_scan,
+        "n_evict_scan": n_evict_scan,
+        "fps_host_loop": round(float(fps_host), 2),
         "fps_track_only": round(float(fps_track), 2),
-        "ate_sim3": round(float(ate), 5),
         "ate_scan": round(float(ate_scan), 5),
+        "ate_host": round(float(ate_host), 5),
         "scan_failures": scan_failures,
         "ba_iter_per_s": round(ba_iter_per_s, 1),
         "frames_timed": n_all,
@@ -306,10 +352,7 @@ def run_bench(args):
         "device": str(jax.devices()[0]),
         "resolution": f"{args.width}x{args.height}",
     }))
-    # a degraded END probe with a healthy measured prefix is still a valid
-    # measurement (median over healthy frames); only fail when the run
-    # itself was poisoned
-    if degraded_tail or (degraded and n_healthy < 30):
+    if degraded or degraded_tail:
         sys.exit(3)
 
 

@@ -33,8 +33,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def probe_dispatch_ms(n=10):
+    """Median dispatch+sync latency of a trivial program (healthy axon
+    ~0.1 ms; a degraded session is 10-300x worse and poisons every stage
+    measurement)."""
+    x = jnp.ones((256, 256), jnp.float32)
+    noop = jax.jit(lambda v: v * 2.0)
+    jax.block_until_ready(noop(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(noop(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[n // 2] * 1e3
+
+
 def time_jitted(name, fn, *args, n_rep: int = 20, n_warm: int = 2):
-    """Median wall ms of a jitted callable (compiles on first call)."""
+    """Median wall ms of a jitted callable (compiles on first call).
+
+    Reports both the blocking latency (host sync per call) and the queued
+    per-call time (n_rep dispatches, one sync — the device-pipeline cost a
+    deployment actually pays); the table records the queued number with the
+    blocking one alongside.
+    """
     t_start = time.perf_counter()
     out = None
     for _ in range(n_warm):
@@ -48,9 +69,14 @@ def time_jitted(name, fn, *args, n_rep: int = 20, n_warm: int = 2):
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     med = 1e3 * sorted(ts)[len(ts) // 2]
-    print(f"# {name or 'stage'}: {med:.3f} ms (warm+compile {t_compile:.1f}s)",
-          file=sys.stderr, flush=True)
-    return med
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(n_rep)]
+    jax.block_until_ready(jax.tree_util.tree_leaves(outs[-1])[0])
+    queued = (time.perf_counter() - t0) / n_rep * 1e3
+    print(f"# {name or 'stage'}: queued {queued:.3f} ms, blocking {med:.3f} "
+          f"ms (warm+compile {t_compile:.1f}s, probe "
+          f"{probe_dispatch_ms():.3f} ms)", file=sys.stderr, flush=True)
+    return queued, med
 
 
 def main():
@@ -85,11 +111,13 @@ def main():
     import math
     imgs = []
     for i in range(args.frames):
-        # same slow orbit as bench.py: stays on the texture indefinitely
+        # same slow pitched orbit as bench.py: stays on the texture
+        # indefinitely; the 0.45 rad pitch keeps the scene depth-varying
+        # (fronto-parallel planes are degenerate for monocular VO)
         ph = 2.0 * math.pi * i / 120
         p = synthetic.lookdown_pose(
             25 * 0.02 * math.sin(ph), 8 * 0.02 * math.cos(ph) - 8 * 0.02,
-            -3.0, (0.0008 * i, -0.0008 * i, 0.001 * i))
+            -3.0, (0.45 + 0.0008 * i, -0.0008 * i, 0.001 * i))
         imgs.append(rj(p.q, p.t))
     for i, img in enumerate(imgs):
         handler.add_image(img, i * 0.05)
@@ -110,12 +138,18 @@ def main():
     has_pt = last.ftr_valid & (last.ftr_point >= 0)
 
     table = {}
+    blocking = {}
 
-    table["pyramid_creation"] = time_jitted("pyramid_creation",
+    def record(name, *a, **kw):
+        q, b = time_jitted(name, *a, **kw)
+        table[name] = q
+        blocking[name] = b
+
+    record("pyramid_creation",
         jax.jit(lambda im: stack_from_pyramid(
             build_pyramid(im, cfg.total_pyr_levels))), img)
 
-    table["sparse_img_align"] = time_jitted("sparse_img_align",
+    record("sparse_img_align",
         jax.jit(lambda ls, cs, px, f, d, v: sparse_img_align(
             ls, cs, cam, SE3.identity(dtype=dtype), px, f, d, v, cfg)),
         last.stack, cur_stack, last.ftr_px, last.ftr_f, depth_last, has_pt)
@@ -125,7 +159,7 @@ def main():
     # sub-steps — here candidates are projected in the same batched op, so
     # the split is reproject_kfs ~= reproject - feature_align and
     # reproject_candidates = 0 (fused; same working set).
-    table["reproject"] = time_jitted("reproject",
+    record("reproject",
         jax.jit(lambda v, cs: reproject_map(v, cs, T_cw, cam, cfg, dims)),
         vo, cur_stack)
 
@@ -141,7 +175,7 @@ def main():
         pts.pos[winner] - kf_centers[w_kf], axis=-1)
     T_cur_ref_all = T_cw.compose(SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())
     T_cur_ref = SE3(q=T_cur_ref_all.q[w_kf], t=T_cur_ref_all.t[w_kf])
-    table["feature_align"] = time_jitted("feature_align",
+    record("feature_align",
         jax.jit(lambda cs, px, f, d, lv, pxi, v: matcher.find_match_direct(
             cs, vo.kfs.stack, w_kf, cam, px, f, d, lv, T_cur_ref, pxi, v,
             cfg)),
@@ -149,9 +183,11 @@ def main():
         pts.ref_level[winner], feats["px"], feats["valid"])
     table["reproject_kfs"] = max(table["reproject"]
                                  - 2 * table["feature_align"], 0.0)
+    blocking["reproject_kfs"] = 0.0
     table["reproject_candidates"] = 0.0   # fused into reproject (see above)
+    blocking["reproject_candidates"] = 0.0
 
-    table["pose_optimizer"] = time_jitted("pose_optimizer",
+    record("pose_optimizer",
         jax.jit(lambda p, f, lv, v: optimize_pose(
             T_cw, p, f, lv, v, cam.errorMultiplier2(), cfg)),
         pts.pos[winner], feats["f"], feats["level"], feats["valid"])
@@ -162,28 +198,32 @@ def main():
     obs_kf = pts.obs_kf[slots]
     obs_ok = (obs_kf >= 0) & vo.kfs.valid[jnp.maximum(obs_kf, 0)]
     ks = jnp.maximum(obs_kf, 0)
-    table["point_optimizer"] = time_jitted("point_optimizer",
+    record("point_optimizer",
         jax.jit(lambda p, q, t, f, ok, s: optimize_points(
             p, q, t, f, ok, s, cfg.structureoptim_n_iter)),
         pts.pos[slots], vo.kfs.q_kw[ks], vo.kfs.t_kw[ks],
         pts.obs_f[slots], obs_ok, sel)
 
-    table["depth_filter"] = time_jitted("depth_filter",
+    record("depth_filter",
         jax.jit(lambda v, cs: pipeline.update_seeds(v, cs, T_cw, cam, cfg)),
         vo, cur_stack)
 
-    table["local_ba"] = time_jitted("local_ba", handler._jit_ba, vo, n_rep=5)
+    record("local_ba", handler._jit_ba, vo, n_rep=5)
 
-    table["tot_time"] = time_jitted("tot_time",
+    record("tot_time",
         lambda v, im: handler._jit_track(v, im), vo, img)
 
     table = {k: round(v, 3) for k, v in table.items()}
     out = {
         **table,
+        "blocking_ms": {k: round(v, 3) for k, v in blocking.items()},
+        "dispatch_ms": round(probe_dispatch_ms(), 3),
         "device": str(jax.devices()[0]),
         "resolution": f"{args.width}x{args.height}",
-        "note": ("per-stage programs timed standalone on populated state; "
-                 "sum > tot_time because the live step fuses them"),
+        "note": ("per-stage programs timed standalone on populated state, "
+                 "queued dispatch (device-pipeline cost); blocking_ms adds "
+                 "the per-call host sync; sum > tot_time because the live "
+                 "step fuses them"),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

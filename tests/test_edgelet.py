@@ -5,6 +5,7 @@ matcher.cpp:192-200 — latent in the reference, enabled via config here)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from android_svo_tpu.config import SVOConfig
 from android_svo_tpu.geometry.se3 import SE3
@@ -111,3 +112,52 @@ class TestEdgeletMatching:
         err = np.abs(np.asarray(px_cur[:, 1] - px_ref[:, 1]))
         assert ok.sum() >= n - 1, ok
         assert np.median(err[ok]) < 0.2, err
+
+
+class TestEdgeletEndToEnd:
+    @pytest.mark.slow
+    def test_tracks_edge_rich_scene(self):
+        """Live-path mileage for edgelets: track a low-corner, edge-rich
+        scene (concentric rings + a thin corner band for bootstrap) with
+        `edgelet_detection=True` end-to-end.  Edgelet landmarks must exist
+        in the live map and tracking must survive (the integrated version
+        of the reference's latent edgelet path, feature.h:31 +
+        matcher.cpp:192-200)."""
+        from android_svo_tpu.core import frame_handler as fh
+        from android_svo_tpu.core import state as st
+        from android_svo_tpu.data import synthetic
+
+        cfg = SVOConfig(
+            edgelet_detection=True, max_n_kfs=8, max_points=2048,
+            max_seeds=1024, ransac_n_trials=128, img_align_n_iter=15,
+            init_min_disparity=15.0, init_min_kps=60, init_min_tracked=30,
+            init_min_inliers=25, quality_min_fts=25, min_reproj_matches=20,
+            min_pose_opt_edges=12, kfselect_mindist=0.03)
+        cam = synthetic.default_camera(W, H)
+        tex = synthetic.make_edge_texture(jax.random.PRNGKey(3), 2048)
+        poses = []
+        n = 20
+        for i in range(n):
+            poses.append(synthetic.lookdown_pose(
+                0.04 * i, 0.012 * i, -3.0,
+                (0.45 + 0.002 * i, -0.002 * i, 0.004 * i)))
+        imgs = [synthetic.render(tex, cam, p) for p in poses]
+
+        handler = fh.FrameHandler(cam, cfg)
+        n_fail = 0
+        for i, img in enumerate(imgs):
+            res = handler.add_image(img, i * 0.1)
+            if (handler.stage == fh.STAGE_DEFAULT_FRAME
+                    and res.result == 0):
+                n_fail += 1
+        assert handler.stage == fh.STAGE_DEFAULT_FRAME
+        assert n_fail == 0
+        pts = handler.vo.points
+        live_edgelets = int(np.asarray(
+            pts.valid & (pts.ref_type == detect.FTYPE_EDGELET)).sum())
+        assert live_edgelets > 0, "no edgelet landmarks in the live map"
+        # edgelet seeds must also be flowing through the depth filter
+        seeds = handler.vo.seeds
+        edge_seeds = int(np.asarray(
+            seeds.valid & (seeds.ftype == detect.FTYPE_EDGELET)).sum())
+        assert edge_seeds > 0, "no edgelet seeds spawned"

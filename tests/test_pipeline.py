@@ -23,14 +23,24 @@ CFG = SVOConfig(max_n_kfs=8, max_points=2048, max_seeds=1024,
 W, H = 320, 240
 
 
-def make_sequence(n_frames, step=0.04):
+def make_sequence(n_frames, step=0.04, tilt=0.45):
+    """Render a tracked sweep over the textured plane.
+
+    `tilt` pitches the camera away from fronto-parallel so scene depth
+    varies across the image.  An exactly fronto-parallel plane at constant
+    depth is DEGENERATE for monocular VO: translation flow is exactly
+    uniform and a compensating rotation reproduces it to ~0.5 px at the
+    image corners, so the estimated trajectory scale silently collapses
+    (the keyframe policy then never fires).  Real scenes have depth
+    variation; the tilt restores it.
+    """
     cam = synthetic.default_camera(W, H)
     tex = synthetic.make_texture(KEY, 2048)
     poses = []
     for i in range(n_frames):
         x = step * i
         y = 0.3 * step * i
-        rot = (0.002 * i, -0.002 * i, 0.004 * i)
+        rot = (tilt + 0.002 * i, -0.002 * i, 0.004 * i)
         poses.append(synthetic.lookdown_pose(x, y, -3.0, rot))
     imgs = [synthetic.render(tex, cam, p) for p in poses]
     return cam, imgs, poses
@@ -38,7 +48,7 @@ def make_sequence(n_frames, step=0.04):
 
 class TestBootstrapKLT:
     def test_klt_tracks_known_shift(self):
-        cam, imgs, poses = make_sequence(2, step=0.12)
+        cam, imgs, poses = make_sequence(2, step=0.12, tilt=0.0)
         pyr0 = pyramid.build_pyramid(imgs[0], CFG.total_pyr_levels)
         pyr1 = pyramid.build_pyramid(imgs[1], CFG.total_pyr_levels)
         det = detect.detect_features(pyr0[:CFG.n_pyr_levels], None, CFG)
@@ -55,7 +65,7 @@ class TestBootstrapKLT:
         assert med < 0.3, med
 
     def test_ransac_recovers_relpose(self):
-        cam, imgs, poses = make_sequence(2, step=0.15)
+        cam, imgs, poses = make_sequence(2, step=0.15, tilt=0.0)
         pyr0 = pyramid.build_pyramid(imgs[0], CFG.total_pyr_levels)
         pyr1 = pyramid.build_pyramid(imgs[1], CFG.total_pyr_levels)
         det = detect.detect_features(pyr0[:CFG.n_pyr_levels], None, CFG)
@@ -103,6 +113,66 @@ class TestEndToEnd:
         # viewpoint robustness on real sequences — we keep the reference's
         # behavior and budget for it here.
         assert ate < 0.09, ate
+
+    @pytest.mark.slow
+    def test_tracks_sequence_lm(self):
+        """Full pipeline with the Levenberg-Marquardt solver strategy on
+        the pose and structure optimizers (ref nlls_solver_impl.hpp:103-229
+        — the template's second strategy): live-path mileage for
+        `method="lm"` beyond unit level, same accuracy bar as GN."""
+        n = 12
+        cfg = CFG.replace(poseoptim_method="lm", structureoptim_method="lm")
+        cam, imgs, poses = make_sequence(n, step=0.05)
+        handler = fh.FrameHandler(cam, cfg)
+        est_pos, gt_pos = [], []
+        n_fail = 0
+        for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
+            res = handler.add_image(img, i * 0.1)
+            if handler.stage == fh.STAGE_DEFAULT_FRAME:
+                est_pos.append(np.asarray(res.T_cw.inverse().t))
+                gt_pos.append(np.asarray(pose_gt.t))
+                if res.result == pipeline.RES_FAILURE:
+                    n_fail += 1
+        assert handler.stage == fh.STAGE_DEFAULT_FRAME
+        assert n_fail == 0
+        ate = ate_rmse(np.array(est_pos), np.array(gt_pos))
+        assert ate < 0.09, ate
+
+    @pytest.mark.slow
+    def test_relocalization_after_occlusion(self):
+        """Adversarial sequence: a mid-sequence occlusion (blank frames)
+        forces tracking failure -> STAGE_RELOCALIZING; when texture returns
+        near the last tracked pose the tracker must re-acquire via
+        sparse-align against the closest keyframe and return to
+        STAGE_DEFAULT_FRAME with bounded error (ref §3.5 semantics,
+        frame_handler_mono.cpp:317-347, frame_handler_base.cpp:134-139)."""
+        n = 32
+        occluded = set(range(18, 22))
+        cam, imgs, poses = make_sequence(n, step=0.03)
+        handler = fh.FrameHandler(cam, CFG)
+        saw_reloc = False
+        recovered_at = None
+        est_pos, gt_pos = [], []
+        for i, (img, pose_gt) in enumerate(zip(imgs, poses)):
+            if i in occluded:
+                img = jnp.zeros_like(img)
+            res = handler.add_image(img, i * 0.1)
+            if handler.stage == fh.STAGE_RELOCALIZING:
+                saw_reloc = True
+            if (saw_reloc and recovered_at is None
+                    and handler.stage == fh.STAGE_DEFAULT_FRAME):
+                recovered_at = i
+            if (handler.stage == fh.STAGE_DEFAULT_FRAME
+                    and i not in occluded
+                    and res.result != pipeline.RES_FAILURE):
+                est_pos.append(np.asarray(res.T_cw.inverse().t))
+                gt_pos.append(np.asarray(pose_gt.t))
+        assert saw_reloc, "occlusion must trip the failure path"
+        assert recovered_at is not None, "tracker never recovered"
+        assert handler.stage == fh.STAGE_DEFAULT_FRAME
+        # bounded ATE including the post-recovery segment
+        ate = ate_rmse(np.array(est_pos), np.array(gt_pos))
+        assert ate < 0.12, ate
 
     @pytest.mark.slow
     def test_long_horizon_with_eviction(self):
