@@ -56,9 +56,23 @@ class SVOConfig:
 
     # ---- reprojector ---------------------------------------------------------
     max_n_kfs_reproject: int = 10       # project points from N closest KFs (ref reprojector.cpp:94)
+    warp_refresh_budget: int = 192      # landmark warped-patch cache refreshes
+                                        # per frame (oldest visible first; the
+                                        # affine warp out of the keyframe
+                                        # arena is the dominant per-frame
+                                        # gather, and the warp drifts ~1%/frame
+                                        # — amortizing it is the TPU-native
+                                        # answer to matcher.cpp:83-121 running
+                                        # per point per frame)
+    seed_warp_refresh_budget: int = 192  # same, for depth-filter seed patches
     reproject_n_retries: int = 1        # extra per-cell candidate tries after a failed
                                         # match (ref reprojectCell quality-ordered chain,
                                         # reprojector.cpp:181-241); 0 = single try
+    reproject_retry_budget: int = 192   # retry rounds run on a compacted batch
+                                        # of at most this many unmatched cells
+                                        # (steady state has few failures; dense
+                                        # rounds would re-pay the full-grid
+                                        # warp+align for every retry)
     quality_min_fts: int = 40           # tracking insufficient below (ref config.cpp)
     quality_max_drop_fts: int = 500     # one-frame drop => failure
     min_reproj_matches: int = 40        # ref frame_handler_mono.cpp:209
@@ -101,6 +115,16 @@ class SVOConfig:
                                                    # (ref depth_filter.h:85: /100)
     seed_max_kf_age: int = 3            # age-out after 3 KF batches (ref depth_filter.cpp:258)
     max_seeds: int = 2048               # seed arena capacity (new: fixed SoA arena)
+    seed_update_budget: int = 768       # visible seeds updated per frame: the
+                                        # epi-match path (arena warp + scan +
+                                        # align) runs on a COMPACTED fixed-size
+                                        # batch, not the whole arena — dead
+                                        # slots cost nothing, and when live >
+                                        # budget the update round-robins by
+                                        # frame (ref updateSeeds visits every
+                                        # seed serially, depth_filter.cpp:250;
+                                        # on TPU dense masked work would pay
+                                        # for all max_seeds slots every frame)
     d_filter_px_noise: float = 1.0      # 1-px angular error for tau (ref computeTau)
 
     # ---- initialization (two-frame bootstrap) ----------------------------------
@@ -122,6 +146,9 @@ class SVOConfig:
 
     # ---- local bundle adjustment ---------------------------------------------------
     loba_n_iter: int = 5                # GN iterations (upstream default; android=0/off)
+    loba_point_budget: int = 2048       # landmarks entering local BA, compacted
+                                        # from the (mostly dead) arena — the
+                                        # Schur einsums are O(arena) otherwise
     loba_num_kfs: int = 4               # core keyframes in local BA window
     loba_every_n_kfs: int = 1           # amortization: run BA every Nth keyframe
     loba_robust_huber_width: float = 1.0

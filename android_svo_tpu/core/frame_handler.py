@@ -121,6 +121,23 @@ def init_map_from_bootstrap(vo: st.VOState, boot, ref_pyr, cur_pyr,
     vo = vo.replace(kfs=kfs, kf_batch=jnp.asarray(1, jnp.int32),
                     frame_id=jnp.asarray(1, jnp.int32))
 
+    # fill the warped-patch cache for the bootstrap landmarks (identity
+    # warp from keyframe 0) so they are matchable from the first tracked
+    # frame — without this the post-bootstrap frames would have to warm the
+    # cache through the per-frame refresh budget
+    from android_svo_tpu.ops import matcher as _matcher
+    patch0, slv0, ok0 = _matcher.identity_warp_patches(
+        kfs.stack, jnp.zeros((C,), jnp.int32), px_ref,
+        jnp.full((C,), det_level, jnp.int32) if jnp.ndim(det_level) == 0
+        else det_level, good, cfg, cam.height, cam.width)
+    pscat = jnp.where(ok0, slots, pts.pos.shape[0])
+    pts = vo.points
+    pts = pts.replace(
+        warp_patch=pts.warp_patch.at[pscat].set(patch0, mode="drop"),
+        warp_level=pts.warp_level.at[pscat].set(slv0, mode="drop"),
+        warp_frame=pts.warp_frame.at[pscat].set(1, mode="drop"))
+    vo = vo.replace(points=pts)
+
     # keyframe 1 = second frame via the standard insertion path
     T_cw2 = boot["T_cur_ref"].compose(T_ref_w)
     feats2 = _scatter_to_cells(boot["px_cur"], boot["f_cur"],
@@ -264,10 +281,20 @@ class FrameHandler:
         core, fixed = select_core_keyframes(
             vo.kfs.q_kw, vo.kfs.t_kw, vo.kfs.valid, T_cw, n_core)
         pvalid = vo.points.valid & (vo.points.obs_count >= 2)
-        q2, t2, pos2, _ = local_ba(
-            vo.points.pos, pvalid, vo.points.obs_kf, vo.points.obs_f,
-            vo.kfs.q_kw, vo.kfs.t_kw, core, fixed,
+        # compact the (mostly dead) landmark arena to a fixed budget before
+        # the Schur einsums — they are O(arena) regardless of masks; points
+        # beyond the budget keep their positions this round
+        P = pvalid.shape[0]
+        Bba = min(cfg.loba_point_budget, P)
+        idx = jnp.nonzero(pvalid, size=Bba, fill_value=-1)[0]
+        sel = idx >= 0
+        idxc = jnp.maximum(idx, 0)
+        q2, t2, pos2_b, _ = local_ba(
+            vo.points.pos[idxc], sel, vo.points.obs_kf[idxc],
+            vo.points.obs_f[idxc], vo.kfs.q_kw, vo.kfs.t_kw, core, fixed,
             self.cam.errorMultiplier2(), cfg)
+        pos2 = vo.points.pos.at[jnp.where(sel, idxc, P)].set(
+            pos2_b, mode="drop")
         kfs = vo.kfs.replace(q_kw=q2, t_kw=t2)
         pts = vo.points.replace(pos=pos2)
         # the newest keyframe IS the current frame: propagate its BA-adjusted

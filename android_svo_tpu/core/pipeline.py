@@ -75,9 +75,58 @@ def update_seeds(vo: st.VOState, cur_stack, T_cw: SE3, cam,
     d_max = 1.0 / jnp.maximum(seeds.mu - sig, 1e-7)
     d_max = jnp.minimum(d_max, 1e4)
 
-    z, px_cur, found = matcher.find_epipolar_match(
-        cur_stack, vo.kfs.stack, seeds.kf, cam, seeds.px, seeds.f,
-        seeds.level, T_cur_ref, z_mean, d_min, d_max, visible, cfg)
+    # seed-patch cache refresh (budget, stalest visible first): re-warp the
+    # reference patch from the birth keyframe as the baseline grows (the
+    # amortized form of the per-update warp in findEpipolarMatchDirect,
+    # matcher.cpp:250-256)
+    S = seeds.valid.shape[0]
+    mode = "drop"
+    never_s = visible & (seeds.patch_frame < 0)
+    age_s = jnp.where(never_s, jnp.iinfo(jnp.int32).min + 1,
+                      seeds.patch_frame)
+    age_s = jnp.where(visible, age_s, jnp.iinfo(jnp.int32).max)
+    Bs = min(cfg.seed_warp_refresh_budget, S)
+    ridx = jnp.argsort(age_s)[:Bs]
+    rok = visible[ridx]
+    patch_r, slv_r, _, ok_r = matcher.compute_warp_batch(
+        vo.kfs.stack, seeds.kf[ridx], cam, seeds.px[ridx], seeds.f[ridx],
+        z_mean[ridx], seeds.level[ridx],
+        SE3(q=T_cur_ref.q[ridx], t=T_cur_ref.t[ridx]), rok, cfg)
+    rscat = jnp.where(ok_r, ridx, S)
+    seeds = seeds.replace(
+        patch=seeds.patch.at[rscat].set(patch_r, mode=mode),
+        patch_level=seeds.patch_level.at[rscat].set(slv_r, mode=mode),
+        patch_frame=seeds.patch_frame.at[rscat].set(vo.frame_id, mode=mode))
+
+    # COMPACT the visible seeds into a fixed budget before the expensive
+    # epi-scan + align path: the arena is mostly dead slots, and the
+    # scan/align cost is O(batch) regardless of masks.  When more seeds are
+    # visible than the budget, a frame-rotating offset round-robins which
+    # ones update this frame (every seed still ages and converges; it just
+    # may skip a frame, like the reference's mapper dropping frames when
+    # the queue backs up, depth_filter.cpp:92-96).
+    budget = min(cfg.seed_update_budget, S)
+    offset = (vo.frame_id * jnp.asarray(257, jnp.int32)) % S
+    rot_vis = jnp.roll(visible, -offset)
+    idx = jnp.nonzero(rot_vis, size=budget, fill_value=-1)[0]
+    sel = idx >= 0
+    idx = (jnp.maximum(idx, 0) + offset) % S
+    sel = sel & (seeds.patch_frame[idx] >= 0)    # cache-cold seeds wait
+    take = lambda a: a[idx]  # noqa: E731
+
+    z_b, px_cur_b, found_b = matcher.find_epipolar_match(
+        cur_stack, vo.kfs.stack, take(seeds.kf), cam, take(seeds.px),
+        take(seeds.f), take(seeds.level),
+        SE3(q=T_cur_ref.q[idx], t=T_cur_ref.t[idx]),
+        take(z_mean), take(d_min), take(d_max), sel, cfg,
+        cached=(seeds.patch[idx], seeds.patch_level[idx]))
+
+    # scatter back to arena layout (untouched slots: no match this frame)
+    mode = "drop"
+    scat = jnp.where(sel, idx, S)
+    z = jnp.ones((S,), dtype).at[scat].set(z_b, mode=mode)
+    found = jnp.zeros((S,), bool).at[scat].set(found_b, mode=mode)
+    attempted = jnp.zeros((S,), bool).at[scat].set(True, mode=mode)
 
     # measurement variance from 1-px angular error (ref :291-300)
     ang = df.px_error_angle(cam.fx, cfg.d_filter_px_noise)
@@ -98,7 +147,9 @@ def update_seeds(vo: st.VOState, cur_stack, T_cw: SE3, cam,
     )
 
     # failed visible matches count as outlier evidence (ref :303-306: b += 1)
-    failed = visible & ~found
+    # — only for seeds that actually got a match attempt this frame (a seed
+    # skipped by the update budget is not evidence of an outlier)
+    failed = attempted & ~found
     seeds2 = seeds2.replace(b=jnp.where(failed, seeds2.b + 1.0, seeds2.b))
 
     # convergence -> promote to candidate landmarks (ref :310-331)
@@ -144,6 +195,16 @@ def promote_converged_seeds(vo: st.VOState, conv: jnp.ndarray, cam,
         ref_grad=pts.ref_grad.at[dst].set(seeds.grad[src], mode=mode),
         obs_kf=pts.obs_kf.at[dst].set(-1, mode=mode),
         obs_count=pts.obs_count.at[dst].set(0, mode=mode),
+        # the promoted landmark inherits the seed's warped-patch cache (the
+        # seed's birth-KF patch IS the new candidate's reference patch);
+        # warp_grad starts as the ref-frame direction and is corrected at
+        # the first cache refresh
+        warp_patch=pts.warp_patch.at[dst].set(seeds.patch[src], mode=mode),
+        warp_level=pts.warp_level.at[dst].set(seeds.patch_level[src],
+                                              mode=mode),
+        warp_frame=pts.warp_frame.at[dst].set(seeds.patch_frame[src],
+                                              mode=mode),
+        warp_grad=pts.warp_grad.at[dst].set(seeds.grad[src], mode=mode),
     )
     # retire the promoted seeds
     seeds2 = seeds.replace(
@@ -299,6 +360,18 @@ def insert_keyframe(vo: st.VOState, cur_pyr, cur_stack, T_cw: SE3, feats,
         batch_id=seeds.batch_id.at[dst].set(batch, mode=mode),
         valid=seeds.valid.at[dst].set(take, mode=mode),
     )
+
+    # spawn-time patch-cache fill: the zero-baseline (identity) warp from
+    # the just-written keyframe — what getWarpMatrixAffine produces for a
+    # feature born in the current frame (matcher.cpp:36-62 with
+    # T_cur_ref ~ I); refreshed on-budget as the baseline grows
+    patch_new, slv_new, _ = matcher.identity_warp_patches(
+        kfs.stack, jnp.full((C,), slot, jnp.int32), det["px"],
+        det["level"], new_mask, cfg, cam.height, cam.width)
+    seeds = seeds.replace(
+        patch=seeds.patch.at[dst].set(patch_new[src], mode=mode),
+        patch_level=seeds.patch_level.at[dst].set(slv_new[src], mode=mode),
+        patch_frame=seeds.patch_frame.at[dst].set(vo.frame_id, mode=mode))
 
     return vo.replace(kfs=kfs, points=pts, seeds=seeds, kf_batch=batch)
 

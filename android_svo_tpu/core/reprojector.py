@@ -162,6 +162,36 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
                & vo.kfs.valid[jnp.clip(src_kf, 0, K - 1)]
                & src_in_close)
 
+    T_cur_ref_all = T_cw.compose(
+        SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())         # per-KF, reused
+    kf_centers = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
+
+    # ---- warped-patch cache refresh (budget, oldest visible first) ---------
+    # The affine warp out of the keyframe arena (ref warpAffine,
+    # matcher.cpp:83-121) is the dominant per-frame gather; since the warp
+    # drifts slowly (~relative-pose delta per frame), a fixed budget of the
+    # stalest visible points re-warps each frame and matching below reads
+    # the cache.  Never-warped points (fresh promotions/bootstrap) go first.
+    never = visible & (pts.warp_frame < 0)
+    age = jnp.where(never, jnp.iinfo(jnp.int32).min + 1, pts.warp_frame)
+    age = jnp.where(visible, age, jnp.iinfo(jnp.int32).max)
+    Bw = min(cfg.warp_refresh_budget, P)
+    ridx = jnp.argsort(age)[:Bw]
+    rok = visible[ridx]
+    r_kf = jnp.clip(src_kf[ridx], 0, K - 1)
+    depth_r = jnp.linalg.norm(pts.pos[ridx] - kf_centers[r_kf], axis=-1)
+    T_cr = SE3(q=T_cur_ref_all.q[r_kf], t=T_cur_ref_all.t[r_kf])
+    patch_r, slv_r, grad_r, ok_r = matcher.compute_warp_batch(
+        vo.kfs.stack, r_kf, cam, src_px[ridx], src_f[ridx], depth_r,
+        src_level[ridx], T_cr, rok, cfg, ref_grad=pts.ref_grad[ridx])
+    mode = "drop"
+    rscat = jnp.where(ok_r, ridx, P)
+    pts = pts.replace(
+        warp_patch=pts.warp_patch.at[rscat].set(patch_r, mode=mode),
+        warp_level=pts.warp_level.at[rscat].set(slv_r, mode=mode),
+        warp_grad=pts.warp_grad.at[rscat].set(grad_r, mode=mode),
+        warp_frame=pts.warp_frame.at[rscat].set(vo.frame_id, mode=mode))
+
     # ---- quality-ordered candidate chain per cell ---------------------------
     # (ref reprojectCell, reprojector.cpp:181-241: sort candidates by
     # quality, try in order until one matches).  Round r: scatter-max picks
@@ -170,11 +200,14 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
     cid = cell_index(px, w, cfg.grid_size, n_cols)
     cid = jnp.clip(cid, 0, C - 1)
     slot_ids = jnp.arange(P, dtype=jnp.int32)
-    key0 = jnp.where(visible, pts.ptype * P + slot_ids, -1)  # quality-major
-
-    T_cur_ref_all = T_cw.compose(
-        SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse())         # per-KF, reused
-    kf_centers = SE3(q=vo.kfs.q_kw, t=vo.kfs.t_kw).inverse().t
+    # quality-major candidate key; points whose warp cache is cold rank
+    # below every cached one (they become matchable next frame — a bounded
+    # warm-up the reference does not have, in exchange for not paying the
+    # full-arena warp every frame)
+    cached = pts.warp_frame >= 0
+    key0 = jnp.where(visible,
+                     (cached.astype(jnp.int32) * 4 + pts.ptype) * P
+                     + slot_ids, -1)
 
     tried = jnp.zeros((P,), bool)
     need = jnp.ones((C,), bool)                              # unmatched cells
@@ -188,7 +221,7 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
         "point": jnp.full((C,), -1, jnp.int32),
         "valid": jnp.zeros((C,), bool),
     }
-    for _ in range(1 + cfg.reproject_n_retries):
+    for round_i in range(1 + cfg.reproject_n_retries):
         key = jnp.where(tried, -1, key0)
         cell_best = jnp.full((C,), -1, jnp.int32).at[cid].max(key)
         winner = jnp.where(cell_best >= 0, cell_best % P, 0)  # (C,) pt slot
@@ -197,35 +230,55 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
         tried = tried.at[jnp.where(cell_has, winner, P)].set(True,
                                                              mode="drop")
 
-        w_kf = src_kf[winner]
-        depth_ref = jnp.linalg.norm(
-            pts.pos[winner] - kf_centers[jnp.clip(w_kf, 0, K - 1)], axis=-1)
-        T_cur_ref = SE3(q=T_cur_ref_all.q[w_kf], t=T_cur_ref_all.t[w_kf])
-        px_init = px[winner]
+        if round_i == 0:
+            # first round: every cell tries its best candidate (dense)
+            cells = jnp.arange(C, dtype=jnp.int32)
+            cand = winner
+            cand_ok = cell_has
+        else:
+            # retry rounds run on a COMPACTED batch: steady state leaves
+            # few unmatched cells, and the warp+align cost is O(batch)
+            # regardless of masks — a dense retry would re-pay the whole
+            # grid for a handful of cells
+            B = min(cfg.reproject_retry_budget, C)
+            cells = jnp.nonzero(cell_has, size=B, fill_value=-1)[0]
+            cand_ok = cells >= 0
+            cells = jnp.maximum(cells, 0)
+            cand = winner[cells]
+
+        px_init = px[cand]
+        has_cache = cached[cand]
         # the 60-degree gate: the cell still claims its try, but the match
-        # is forced to fail (the reference counts it via n_failed_reproj_)
-        try_ok = cell_has & angle_ok[winner]
-        px_cur, search_level, success = matcher.find_match_direct(
-            cur_stack, vo.kfs.stack, w_kf, cam,
-            src_px[winner], src_f[winner], depth_ref,
-            src_level[winner], T_cur_ref, px_init, try_ok, cfg,
-            ref_grad=pts.ref_grad[winner], ref_type=pts.ref_type[winner])
+        # is forced to fail (the reference counts it via n_failed_reproj_);
+        # cache-cold points are not tried at all (no counter evidence)
+        attempted = cand_ok & has_cache
+        try_ok = attempted & angle_ok[cand]
+        px_cur, success = matcher.match_cached(
+            cur_stack, cam, pts.warp_patch[cand], pts.warp_level[cand],
+            px_init, try_ok, cfg, warp_grad=pts.warp_grad[cand],
+            ref_type=pts.ref_type[cand])
+        search_level = jnp.clip(pts.warp_level[cand], 0,
+                                cfg.max_search_level)
 
         # quality counters (ref reprojector.cpp:200-216): every try counts
-        succ_add = succ_add.at[winner].add(success.astype(jnp.int32))
-        fail_add = fail_add.at[winner].add(
-            (cell_has & ~success).astype(jnp.int32))
+        pslot = jnp.where(attempted, cand, P)
+        succ_add = succ_add.at[pslot].add(success.astype(jnp.int32),
+                                          mode="drop")
+        fail_add = fail_add.at[pslot].add(
+            (attempted & ~success).astype(jnp.int32), mode="drop")
 
         f_cur = cam.cam2world(px_cur)
         upd = success
+        cslot = jnp.where(upd, cells, C)
+        mode = "drop"
         feats = {
-            "px": jnp.where(upd[:, None], px_cur, feats["px"]),
-            "f": jnp.where(upd[:, None], f_cur, feats["f"]),
-            "level": jnp.where(upd, search_level, feats["level"]),
-            "point": jnp.where(upd, winner, feats["point"]),
-            "valid": feats["valid"] | upd,
+            "px": feats["px"].at[cslot].set(px_cur, mode=mode),
+            "f": feats["f"].at[cslot].set(f_cur, mode=mode),
+            "level": feats["level"].at[cslot].set(search_level, mode=mode),
+            "point": feats["point"].at[cslot].set(cand, mode=mode),
+            "valid": feats["valid"].at[cslot].set(True, mode=mode),
         }
-        need = need & ~success
+        need = need.at[cslot].set(False, mode=mode)
     # global match budget (ref reprojector.cpp:152-167: the grid walk stops
     # once maxFts cells have matched).  In this batched fixed-shape design
     # the alignment cost is O(C) regardless, so the budget exists for

@@ -86,6 +86,16 @@ class PointArena:
     obs_px: jnp.ndarray        # (P, O, 2) level-0 px in that kf
     obs_level: jnp.ndarray     # (P, O) int32 pyramid level of the feature
     obs_count: jnp.ndarray     # (P,) int32
+    # warped-patch cache: the affine warp out of the keyframe arena
+    # (ref warpAffine, matcher.cpp:83-121) is the single most expensive
+    # per-frame gather; the warp changes slowly (relative pose drifts ~1%%
+    # per frame), so it is AMORTIZED: a per-frame budget of points
+    # refreshes the cache (oldest first), and matching reads the cache
+    # (border patch incl. the +1 gradient ring)
+    warp_patch: jnp.ndarray    # (P, PB, PB) f32, PB = 2*(patch_halfsize+1)
+    warp_level: jnp.ndarray    # (P,) int32 search level of the cached warp
+    warp_frame: jnp.ndarray    # (P,) int32 frame id of last refresh, -1=never
+    warp_grad: jnp.ndarray     # (P, 2) warped unit gradient dir (edgelets)
 
     @property
     def valid(self) -> jnp.ndarray:
@@ -108,6 +118,12 @@ class SeedArena:
     z_range: jnp.ndarray       # (S,)
     batch_id: jnp.ndarray      # (S,) int32 keyframe batch at birth (age-out)
     valid: jnp.ndarray         # (S,) bool
+    # cached warped reference patch (same amortization as PointArena's
+    # warp_* fields): seeded with the identity patch at spawn, re-warped on
+    # a per-frame budget as the baseline to the birth keyframe grows
+    patch: jnp.ndarray         # (S, PB, PB) f32
+    patch_level: jnp.ndarray   # (S,) int32 search level of the cache
+    patch_frame: jnp.ndarray   # (S,) int32 frame id of last refresh
 
 
 @struct.dataclass
@@ -149,6 +165,7 @@ def arena_dims(cfg: SVOConfig, width: int, height: int):
         "P": cfg.max_points,
         "O": cfg.max_obs_per_point,
         "S": cfg.max_seeds,
+        "PB": 2 * (cfg.patch_halfsize + 1),
         "n_rows": n_rows,
         "n_cols": n_cols,
     }
@@ -158,6 +175,7 @@ def init_state(cfg: SVOConfig, width: int, height: int,
                dtype=jnp.float32) -> VOState:
     d = arena_dims(cfg, width, height)
     K, C, P, O, S = d["K"], d["C"], d["P"], d["O"], d["S"]
+    PB = d["PB"]
     n_levels = cfg.total_pyr_levels
     sshape = stack_shape(height, width, n_levels)
     ident_q = jnp.array([1.0, 0, 0, 0], dtype)
@@ -192,6 +210,10 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         obs_px=jnp.zeros((P, O, 2), dtype),
         obs_level=jnp.zeros((P, O), jnp.int32),
         obs_count=jnp.zeros((P,), jnp.int32),
+        warp_patch=jnp.zeros((P, PB, PB), dtype),
+        warp_level=jnp.zeros((P,), jnp.int32),
+        warp_frame=jnp.full((P,), -1, jnp.int32),
+        warp_grad=jnp.zeros((P, 2), dtype),
     )
     seeds = SeedArena(
         kf=jnp.zeros((S,), jnp.int32),
@@ -207,6 +229,9 @@ def init_state(cfg: SVOConfig, width: int, height: int,
         z_range=jnp.ones((S,), dtype),
         batch_id=jnp.zeros((S,), jnp.int32),
         valid=jnp.zeros((S,), bool),
+        patch=jnp.zeros((S, PB, PB), dtype),
+        patch_level=jnp.zeros((S,), jnp.int32),
+        patch_frame=jnp.full((S,), -1, jnp.int32),
     )
     last = FrameState(
         stack=jnp.zeros(sshape, dtype),

@@ -39,6 +39,12 @@ class PinholeCamera:
     dist: jnp.ndarray                       # (5,) = k1,k2,p1,p2,k3
     width: int = struct.field(pytree_node=False, default=752)
     height: int = struct.field(pytree_node=False, default=480)
+    # static (trace-time) flag: all-zero distortion skips the radtan
+    # polynomial in world2cam and the 8-iteration fixed-point undistort in
+    # cam2world — both sit on every hot path (projection, warping, epi
+    # geometry), and zero-distortion rigs (and all synthetic benches) pay
+    # them for nothing otherwise
+    distortion_free: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, width, height, fx, fy, cx, cy,
@@ -49,12 +55,13 @@ class PinholeCamera:
             cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
             dist=jnp.asarray([k1, k2, p1, p2, k3], dtype),
             width=int(width), height=int(height),
+            distortion_free=(k1 == 0.0 and k2 == 0.0 and p1 == 0.0
+                             and p2 == 0.0 and k3 == 0.0),
         )
 
     @property
     def has_distortion(self) -> bool:
-        # static only if dist is a concrete array; used at trace time by callers
-        return True
+        return not self.distortion_free
 
     def errorMultiplier2(self) -> jnp.ndarray:
         """Focal length for angular->pixel error conversion
@@ -64,6 +71,8 @@ class PinholeCamera:
     # -- distortion ----------------------------------------------------------
     def distort(self, uv: jnp.ndarray) -> jnp.ndarray:
         """Unit-plane -> distorted unit-plane (ref pinhole_camera.cpp:44-58)."""
+        if self.distortion_free:
+            return uv
         k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
         x, y = uv[..., 0], uv[..., 1]
         r2 = x * x + y * y
@@ -76,6 +85,8 @@ class PinholeCamera:
     def undistort(self, uvd: jnp.ndarray, n_iter: int = 8) -> jnp.ndarray:
         """Distorted -> ideal unit-plane via fixed-point iteration (the
         algorithm inside `cv::undistortPoints`, ref pinhole_camera.cpp:59)."""
+        if self.distortion_free:
+            return uvd
         k1, k2, p1, p2, k3 = (self.dist[i] for i in range(5))
         xd, yd = uvd[..., 0], uvd[..., 1]
         x, y = xd, yd

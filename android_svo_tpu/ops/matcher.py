@@ -190,6 +190,82 @@ def align1d_stack(stack, lvl, ref_patch, ref_dx, ref_dy, direction,
 
 
 # ---------------------------------------------------------------------------
+# warped-patch cache helpers (the amortized form of warpAffine,
+# matcher.cpp:83-121: a per-frame BUDGET of features re-warps; matching
+# reads the cache)
+# ---------------------------------------------------------------------------
+
+def compute_warp_batch(kf_stack, kf_idx, cam, px_ref, f_ref, depth_ref,
+                       level_ref, T_cur_ref: SE3, valid, cfg: SVOConfig,
+                       ref_grad=None):
+    """Warp one batch of reference patches out of the keyframe arena:
+    affine matrix -> search level -> border patch (+ warped gradient
+    direction for edgelets).  Returns (patch_b, search_level, grad_cur, ok).
+    """
+    halfpatch = cfg.patch_halfsize
+    h, w = cam.height, cam.width
+    A = get_warp_matrix_affine(cam, px_ref, f_ref, depth_ref, T_cur_ref,
+                               level_ref, halfpatch)
+    search_level = get_best_search_level(A, cfg.max_search_level)
+    patch_b, ok_warp = warp_affine_stack(
+        kf_stack, kf_idx, A, px_ref, level_ref, search_level,
+        halfpatch + 1, h, w)
+    if ref_grad is not None:
+        g = jnp.einsum("nij,nj->ni", A, ref_grad)
+        grad_cur = g / jnp.maximum(
+            jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-8)
+    else:
+        grad_cur = None
+    return patch_b, search_level, grad_cur, valid & ok_warp
+
+
+def identity_warp_patches(kf_stack, kf_idx, px_ref, level_ref, valid,
+                          cfg: SVOConfig, h: int, w: int):
+    """Spawn-time cache fill: the zero-baseline warp (A = identity, search
+    level 0) — exactly what `getWarpMatrixAffine` produces for a feature
+    born in the current frame.  Returns (patch_b, search_level, ok)."""
+    n = px_ref.shape[0]
+    A = jnp.broadcast_to(jnp.eye(2, dtype=px_ref.dtype), (n, 2, 2))
+    search_level = jnp.zeros((n,), jnp.int32)
+    patch_b, ok_warp = warp_affine_stack(
+        kf_stack, kf_idx, A, px_ref, level_ref, search_level,
+        cfg.patch_halfsize + 1, h, w)
+    return patch_b, search_level, valid & ok_warp
+
+
+def match_cached(cur_stack, cam, ref_patch_b, search_level, px_cur_init,
+                 valid, cfg: SVOConfig, warp_grad=None, ref_type=None):
+    """Subpixel match against CACHED warped reference patches (the cached
+    form of findMatchDirect's align step, matcher.cpp:179-200).
+
+    Returns (px_cur level-0, success)."""
+    use_pallas = pp.cfg_use_pallas(cfg)
+    h, w = cam.height, cam.width
+    n_levels = min(cur_stack.shape[0], cfg.max_search_level + 1)
+    cur_stack = cur_stack[:n_levels]
+    search_level = jnp.clip(search_level, 0, n_levels - 1)
+    ref_patch, gx, gy = patch_gradients(ref_patch_b)
+    scale_s = 2.0 ** search_level.astype(px_cur_init.dtype)
+    uv_init = px_cur_init / scale_s[:, None]
+
+    uv_out, conv, _ = pp.align_iclk(
+        cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+        cfg.align_max_iter, h, w, use_pallas=use_pallas)
+
+    if cfg.edgelet_detection and warp_grad is not None:
+        from android_svo_tpu.ops.detect import FTYPE_EDGELET
+        is_edge = (ref_type == FTYPE_EDGELET) & valid
+        uv_e, conv_e, _ = align1d_stack(
+            cur_stack, search_level, ref_patch, gx, gy, warp_grad, uv_init,
+            is_edge, cfg.align_max_iter, h, w, use_pallas=use_pallas)
+        uv_out = jnp.where(is_edge[:, None], uv_e, uv_out)
+        conv = jnp.where(is_edge, conv_e, conv)
+
+    px_cur = uv_out * scale_s[:, None]
+    return px_cur, conv & valid
+
+
+# ---------------------------------------------------------------------------
 # direct match (ref findMatchDirect, matcher.cpp:156-204)
 # ---------------------------------------------------------------------------
 
@@ -256,7 +332,7 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
 def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
                         px_ref, f_ref, level_ref, T_cur_ref: SE3,
                         d_estimate, d_min, d_max, valid,
-                        cfg: SVOConfig):
+                        cfg: SVOConfig, cached=None):
     """Search along the epipolar segment [d_min, d_max] for the best ZMSSD
     match of each seed's reference patch, refine to subpixel, and
     triangulate depth.
@@ -285,13 +361,20 @@ def find_epipolar_match(cur_stack, kf_stack, kf_idx, cam,
     z_A = T_cur_ref.apply(f_ref * d_min[..., None])[..., 2]
     z_B = T_cur_ref.apply(f_ref * d_max[..., None])[..., 2]
 
-    # affine warp + search level from the current depth estimate
-    A_warp = get_warp_matrix_affine(cam, px_ref, f_ref, d_estimate,
-                                    T_cur_ref, level_ref, halfpatch)
-    search_level = get_best_search_level(A_warp, n_levels - 1)
-    patch_b, ok_warp = warp_affine_stack(
-        kf_stack, kf_idx, A_warp, px_ref, level_ref, search_level,
-        halfpatch + 1, h, w)
+    # affine warp + search level from the current depth estimate — or from
+    # the caller's warped-patch cache (`cached=(patch_b, search_level)`),
+    # which amortizes the arena warp across frames
+    if cached is None:
+        A_warp = get_warp_matrix_affine(cam, px_ref, f_ref, d_estimate,
+                                        T_cur_ref, level_ref, halfpatch)
+        search_level = get_best_search_level(A_warp, n_levels - 1)
+        patch_b, ok_warp = warp_affine_stack(
+            kf_stack, kf_idx, A_warp, px_ref, level_ref, search_level,
+            halfpatch + 1, h, w)
+    else:
+        patch_b, search_level = cached
+        search_level = jnp.clip(search_level, 0, n_levels - 1)
+        ok_warp = jnp.ones(search_level.shape, bool)
     ref_patch, gx, gy = patch_gradients(patch_b)
 
     # pixel-space segment, in search-level units

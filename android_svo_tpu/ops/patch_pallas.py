@@ -475,9 +475,8 @@ def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
                           + hinv_ref[i, 8] * g2)
                     return u0, u1, u2
 
-                def body(it, carry):
-                    del it
-                    u, v, mean = carry
+                def body(carry):
+                    it, u, v, mean, done = carry
                     ok = inb(u, v)
                     cur = sample(u, v)
                     r = cur - T + mean
@@ -485,11 +484,18 @@ def _make_align_kernel(n_iter: int, half: int, h_true: int, w_true: int):
                     u = jnp.where(ok, u - u0, u)
                     v = jnp.where(ok, v - u1, v)
                     mean = jnp.where(ok, mean - u2, mean)
-                    return (u, v, mean)
+                    # early break on convergence (ref feature_alignment.cpp:
+                    # 276 `update.dot(update) < min_update_squared`) — the
+                    # loop is serial per feature, so skipped iterations skip
+                    # whole window loads
+                    step2 = u0 * u0 + u1 * u1
+                    done = (~ok) | (step2 < jnp.float32(MIN_UPDATE_SQUARED))
+                    return (it + 1, u, v, mean, done)
 
-                u, v, mean = jax.lax.fori_loop(
-                    0, n_iter, body,
-                    (uv_ref[i, 0], uv_ref[i, 1], jnp.float32(0.0)))
+                _, u, v, mean, _ = jax.lax.while_loop(
+                    lambda c: (c[0] < n_iter) & ~c[4], body,
+                    (jnp.int32(0), uv_ref[i, 0], uv_ref[i, 1],
+                     jnp.float32(0.0), False))
 
                 # final step-size probe for the convergence flag (the extra
                 # evaluation after the loop, matching feature_align.align2d)
@@ -575,17 +581,22 @@ def _align_fallback(stack, lvl, T, gx, gy, hinv, uv0, valid, n_iter: int,
         g = jnp.einsum("nai,na->ni", J, r)
         return jnp.einsum("nij,nj->ni", hinv, g)
 
-    def body(it, carry):
-        del it
-        uv, mean = carry
-        ok = valid & inb(uv)
+    def body(carry):
+        it, uv, mean, done = carry
+        ok = valid & inb(uv) & ~done
         upd = step(uv, mean)
         uv = jnp.where(ok[:, None], uv - upd[:, :2], uv)
         mean = jnp.where(ok, mean - upd[:, 2], mean)
-        return uv, mean
+        # per-feature freeze on convergence, matching the Pallas kernel's
+        # early break (ref feature_alignment.cpp:276)
+        step2 = jnp.sum(upd[:, :2] ** 2, axis=-1)
+        done = done | ~inb(uv) | (step2 < MIN_UPDATE_SQUARED)
+        return it + 1, uv, mean, done
 
-    uv, mean = jax.lax.fori_loop(0, n_iter, body,
-                                 (uv0, jnp.zeros((n,), dtype)))
+    _, uv, mean, _ = jax.lax.while_loop(
+        lambda c: (c[0] < n_iter) & ~jnp.all(c[3]), body,
+        (jnp.int32(0), uv0, jnp.zeros((n,), dtype),
+         jnp.zeros((n,), bool)))
     ok = valid & inb(uv)
     upd = step(uv, mean)
     step2 = jnp.where(ok, jnp.sum(upd[:, :2] ** 2, axis=-1), jnp.inf)

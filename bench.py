@@ -65,6 +65,10 @@ def main():
         degraded_line = None
         last_err = ""
         for attempt in range(6):
+            # the axon worker mishandles back-to-back sessions: connecting
+            # while the previous session is being torn down hangs the new
+            # process on its first dispatch.  Cool down before every attempt.
+            time.sleep(90)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"]
                 + sys.argv[1:],
@@ -82,7 +86,7 @@ def main():
             last_err = proc.stderr[-2000:]
             if proc.returncode == 3:
                 # degraded worker: immediate reconnects land on the same
-                # sick session; idle for a bit before retrying
+                # sick session; idle for a bit longer before retrying
                 time.sleep(60)
         if degraded_line:
             print(degraded_line)
@@ -126,6 +130,10 @@ def make_poses(synthetic, n, step, smoke):
             8 * step * math.cos(ph) - 8 * step, -3.0,
             (0.45 + 0.0008 * i, -0.0008 * i, 0.001 * i)))
     return poses
+
+
+def _phase(msg):
+    print(f"# phase: {msg}", file=sys.stderr, flush=True)
 
 
 def run_bench(args):
@@ -184,6 +192,7 @@ def run_bench(args):
     # pre-render the sequence on device (not timed)
     n_total = args.warm_frames + args.frames
     poses = make_poses(synthetic, n_total, args.step, args.smoke)
+    _phase("render")
     imgs = []
     rj = jax.jit(lambda q, t: synthetic.render(tex, cam, SE3(q=q, t=t)))
     for p in poses:
@@ -198,6 +207,7 @@ def run_bench(args):
     # ---- host-loop pass (latency mode + warmup) ---------------------------
     # bootstraps the map, compiles every program, and measures the
     # per-frame host-dispatch mode over the warm segment
+    _phase("host loop")
     handler.perf_mon = pm
     est_h, gt_h = [], []
     n_fail = 0
@@ -207,6 +217,8 @@ def run_bench(args):
         t0 = time.perf_counter()
         res = handler.add_image(imgs[i], i * 0.05)
         dt = time.perf_counter() - t0
+        if i % 8 == 0:
+            _phase(f"host frame {i} stage={handler.stage}")
         if timed:
             frame_ms.append((dt * 1e3,
                              res.result == pipeline.RES_IS_KEYFRAME))
@@ -255,6 +267,7 @@ def run_bench(args):
     n_kf_scan = 0
     n_evict_scan = 0
     if handler.stage == fh.STAGE_DEFAULT_FRAME:
+        _phase("scan compile")
         import jax.numpy as jnp
         scan = jax.jit(pipeline.make_track_scan(cfg, cam, handler.dims))
         scan_imgs = jnp.stack(imgs[args.warm_frames:])
@@ -278,6 +291,7 @@ def run_bench(args):
         kfid_before = set(np.asarray(vo0.kfs.frame_id)[
             np.asarray(vo0.kfs.valid)].tolist())
         vo1, outs_all = run_scan(vo0)    # compile + warm
+        _phase("scan timed pass")
         t0 = time.perf_counter()
         vo1, outs_all = run_scan(vo0)
         dt_scan = time.perf_counter() - t0
@@ -304,6 +318,7 @@ def run_bench(args):
 
     # BA iterations/s (BASELINE.md primary metric): time the jitted local-BA
     # program over the populated keyframe window
+    _phase("ba timing")
     ba_iter_per_s = 0.0
     if bool(jax.device_get(handler.vo.kfs.valid.any())):
         ba = handler._jit_ba

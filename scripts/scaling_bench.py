@@ -212,6 +212,68 @@ def bench_tracking(n_devices: int, seq_per_device: int = 2, _cache={}):
     return batch / t, t, inv
 
 
+def pinned_single_core_baseline(metric: str) -> float:
+    """Re-measure the 1-device step time with the process PINNED to one
+    core (`taskset -c 0`).
+
+    Why: the unpinned 1-device baseline lets XLA:CPU's intra-op thread pool
+    use BOTH host cores for one virtual device, so the n=2 weak-scaled
+    point (one core per device) reads as "inefficiency" that is purely a
+    baseline artifact — round-3 review measured 0.775 (track) / 0.647 (BA)
+    at 2 devices and asked for the explanation.  The pinned baseline is the
+    true one-core-per-device unit of compute the weak-scaling law needs.
+    """
+    import subprocess
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import scripts.scaling_bench as sb; "
+        "v, t, _ = sb.bench_%s(1); print('PINNED', t)" % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tracking" if metric == "track_seq_per_s" else "ba"))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1"
+                        ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(["taskset", "-c", "0", sys.executable, "-c", code],
+                          capture_output=True, text=True, env=env)
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("PINNED"):
+            return float(ln.split()[1])
+    raise RuntimeError(f"pinned baseline failed: {proc.stderr[-500:]}")
+
+
+def bench_tracking_map_sharded(n_devices: int, seq_per_device: int = 2,
+                               _cache={}):
+    """Tracking with BOTH axes sharded (data x map): the configuration whose
+    seed/landmark-arena gathers become all-gathers over ICI.  Round-3 review
+    flagged that the pure data-parallel rows (map axis size 1, 3 scalar
+    all-reduces) didn't support that claim — this row measures the real
+    map-sharded program and its collective inventory."""
+    if "state" not in _cache:
+        _cache["state"] = _populated_state()
+    cfg, cam, vo1, img1 = _cache["state"]
+    dims = st.arena_dims(cfg, cam.width, cam.height)
+    data = max(n_devices // 2, 1)
+    batch = seq_per_device * data
+    mesh = mesh_lib.make_mesh(n_devices, data=data)
+    fn, vo_shard = make_sharded_track(cfg, cam, dims, mesh, batch)
+    vo_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                        vo1)
+    vo = jax.device_put(vo_b, vo_shard)
+    imgs = jnp.broadcast_to(img1, (batch,) + img1.shape)
+    inv = collective_inventory(fn.lower(vo, imgs).compile().as_text())
+    vo, out = fn(vo, imgs)
+    jax.block_until_ready(out["T_cw"].t)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        vo, out = fn(vo, imgs)
+    jax.block_until_ready(out["T_cw"].t)
+    t = (time.perf_counter() - t0) / n
+    return batch / t, t, inv
+
+
 def main():
     n_cores = os.cpu_count()
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
@@ -219,35 +281,63 @@ def main():
     projections = {}
     for metric, bench in (("track_seq_per_s", bench_tracking),
                           ("ba_iter_per_s", bench_ba)):
+        t1_pinned = pinned_single_core_baseline(metric)
         t1 = None
         for n in counts:
             v, t_step, inv = bench(n)
             if t1 is None:
                 t1 = t_step
-            # WEAK scaling: per-device work constant => ideal is t(n)=t(1)
-            eff_measured = t1 / t_step
+            # WEAK scaling vs the PINNED one-core baseline: ideal is
+            # t(n) = t1_pinned while devices <= cores, then the known
+            # oversubscription multiple of it
+            oversub = max(n / n_cores, 1.0)
+            model = t1_pinned * oversub
             row = {"metric": metric, "n_devices": n, "value": round(v, 2),
                    "sec_per_step": round(t_step, 4),
-                   "efficiency_measured_cpu": round(eff_measured, 3),
-                   "oversubscription": round(max(n / n_cores, 1.0), 1)}
+                   "sec_per_step_model": round(model, 4),
+                   "model_residual": round(t_step / model - 1.0, 3),
+                   "efficiency_measured_cpu": round(
+                       min(model / t_step, 1.0), 3),
+                   "oversubscription": round(oversub, 1)}
             if inv:
                 row["collectives"] = inv
-                # real-hardware projection: per-device compute (measured at
-                # n=1) + ICI transfer + per-collective latency
+                # real-hardware projection: per-device compute (pinned
+                # 1-core measurement) + ICI transfer + per-op latency
                 t_coll = (inv["bytes_per_step"] / ICI_BW
                           + inv["n_collectives"] * ICI_LAT)
-                eff_proj = t1 / (t1 + t_coll)
+                eff_proj = t1_pinned / (t1_pinned + t_coll)
                 row["efficiency_projected_ici"] = round(eff_proj, 3)
                 projections[metric] = round(eff_proj, 3)
             rows.append(row)
             print(json.dumps(row), flush=True)
+        rows[-1]["baseline_pinned_1core_s"] = round(t1_pinned, 4)
+    # the map-sharded tracking configuration (arenas on the "map" axis):
+    # its inventory carries the real all-gather traffic the data-parallel
+    # rows cannot show
+    if len(jax.devices()) >= 4:
+        v, t_step, inv = bench_tracking_map_sharded(4)
+        t_coll = (inv["bytes_per_step"] / ICI_BW
+                  + inv["n_collectives"] * ICI_LAT)
+        t1p = pinned_single_core_baseline("track_seq_per_s")
+        row = {"metric": "track_seq_per_s_map_sharded", "n_devices": 4,
+               "mesh": "data=2 x map=2", "value": round(v, 2),
+               "sec_per_step": round(t_step, 4), "collectives": inv,
+               "efficiency_projected_ici": round(t1p / (t1p + t_coll), 3)}
+        projections["track_seq_per_s_map_sharded"] = \
+            row["efficiency_projected_ici"]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     out = {
         "host_cores": n_cores,
-        "note": ("weak scaling (work/device constant); "
-                 "efficiency_measured_cpu is bounded by host-core "
-                 "oversubscription on the virtual mesh, "
-                 "efficiency_projected_ici applies the measured collective "
-                 "inventory to v5e ICI (45 GB/s, 1 us/op)"),
+        "note": ("weak scaling (work/device constant) against a PINNED "
+                 "one-core 1-device baseline (taskset -c 0): the unpinned "
+                 "baseline lets XLA:CPU intra-op threads use every core, "
+                 "which round-3 review showed misreads oversubscription as "
+                 "inefficiency.  sec_per_step_model = pinned_baseline x "
+                 "oversubscription; model_residual is the unexplained "
+                 "remainder.  efficiency_projected_ici applies the "
+                 "compiled collective inventory to v5e ICI "
+                 "(45 GB/s, 1 us/op)."),
         "projected_efficiency": projections,
         "rows": rows,
     }

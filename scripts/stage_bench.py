@@ -85,6 +85,8 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--out", default="STAGE_TABLE.json")
+    ap.add_argument("--trace", action="store_true",
+                    help="also write a ~20-frame jax.profiler device trace")
     args = ap.parse_args()
 
     from android_svo_tpu.config import SVOConfig
@@ -212,6 +214,18 @@ def main():
 
     record("tot_time",
         lambda v, im: handler._jit_track(v, im), vo, img)
+
+    if args.trace:
+        # one committed device trace of ~20 steady frames (jax.profiler):
+        # the in-program stage attribution comes from the jax.named_scope
+        # annotations in pipeline.make_track_frame
+        trace_dir = os.path.join(os.path.dirname(args.out), "device_trace")
+        with jax.profiler.trace(trace_dir):
+            v = vo
+            for _ in range(20):
+                v, _o = handler._jit_track(v, img)
+            jax.block_until_ready(_o["result"])
+        print(f"# device trace written to {trace_dir}", file=sys.stderr)
 
     table = {k: round(v, 3) for k, v in table.items()}
     out = {

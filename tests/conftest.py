@@ -19,3 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is compile-dominated (large fused
+# programs recompiled identically every run); the disk cache is shared by
+# xdist workers and across runs
+from android_svo_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
