@@ -30,7 +30,32 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
+
+# total wrapper wall-clock budget (s): the driver's own budget is finite —
+# a bench that can't finish inside it publishes NOTHING (the r4 failure).
+WALL_BUDGET_S = float(os.environ.get("BENCH_WALL_BUDGET_S", "1100"))
+
+
+def _result_rank(r: dict | None) -> int:
+    """Order candidate results: a healthy forward-scan number beats a
+    healthy host-loop-only number beats a degraded-session number beats a
+    kernel-parity failure beats nothing."""
+    if not r:
+        return -1
+    if r.get("kernel_parity_fail"):
+        return 0
+    if r.get("degraded_session"):
+        # a completed forward scan is a QUEUED measurement — still honest
+        # device time under the degraded session's blocking-dispatch tax —
+        # so it outranks a healthy host-loop-only partial
+        return 2 if r.get("fps_forward_scan", 0) > 0 else 1
+    if r.get("fps_forward_scan", 0) > 0:
+        return 4
+    if r.get("value", 0) > 0:
+        return 3
+    return 1
 
 
 def main():
@@ -59,38 +84,72 @@ def main():
         # The axon TPU worker is flaky around crashes/long compiles: a
         # session can come back DEGRADED (identical dispatches 10-25x
         # slower) or the worker can die mid-run.  Isolate attempts in
-        # subprocesses; a degraded session is detected BEFORE the timed
-        # pass (rc=3) so attempts are cheap, and its result is published
-        # only as a last resort.
-        degraded_line = None
+        # subprocesses under a HARD wall-clock budget; every attempt
+        # persists its best partial JSON to a side file so even a crash or
+        # wrapper timeout still publishes best-so-far (r4 published
+        # nothing because all-or-nothing attempts ate the driver budget).
+        # The persistent XLA compilation cache (utils/cache.py) accumulates
+        # across attempts, so a crashed first attempt still pays forward
+        # its compiles.
+        t_start = time.monotonic()
+        best: dict | None = None
         last_err = ""
-        for attempt in range(6):
-            # the axon worker mishandles back-to-back sessions: connecting
-            # while the previous session is being torn down hangs the new
-            # process on its first dispatch.  Cool down before every attempt.
-            time.sleep(90)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--inner"]
-                + sys.argv[1:],
-                capture_output=True, text=True)
-            line = next((ln for ln in proc.stdout.splitlines()
+        attempt = 0
+        while time.monotonic() - t_start < WALL_BUDGET_S and attempt < 8:
+            attempt += 1
+            partial = tempfile.mktemp(prefix="bench_partial_",
+                                      suffix=".json")
+            budget_left = WALL_BUDGET_S - (time.monotonic() - t_start)
+            if budget_left < 60:
+                break
+            env = dict(os.environ, BENCH_PARTIAL=partial)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--inner"]
+                    + sys.argv[1:],
+                    capture_output=True, text=True,
+                    timeout=max(60.0, budget_left - 15.0), env=env)
+                rc = proc.returncode
+                stdout = proc.stdout
+                last_err = proc.stderr[-2000:]
+            except subprocess.TimeoutExpired as e:
+                rc = 124
+                stdout = (e.stdout or b"").decode() \
+                    if isinstance(e.stdout, bytes) else (e.stdout or "")
+            line = next((ln for ln in stdout.splitlines()
                          if ln.startswith("{")), None)
-            if line and proc.returncode == 0:
-                print(line)
-                return
+            cand = None
             if line:
-                degraded_line = line
-            print(f"# bench attempt {attempt + 1}: rc={proc.returncode} "
-                  f"{'(degraded session)' if line else '(crashed)'}",
+                try:
+                    cand = json.loads(line)
+                except json.JSONDecodeError:
+                    cand = None
+            if cand is None and os.path.exists(partial):
+                try:
+                    with open(partial) as f:
+                        cand = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    cand = None
+            if os.path.exists(partial):
+                os.unlink(partial)
+            if _result_rank(cand) > _result_rank(best):
+                best = cand
+            print(f"# bench attempt {attempt}: rc={rc} "
+                  f"rank={_result_rank(cand)} best={_result_rank(best)}",
                   file=sys.stderr, flush=True)
-            last_err = proc.stderr[-2000:]
-            if proc.returncode == 3:
-                # degraded worker: immediate reconnects land on the same
-                # sick session; idle for a bit longer before retrying
-                time.sleep(60)
-        if degraded_line:
-            print(degraded_line)
-            return
+            if rc == 0 and _result_rank(best) >= 4:
+                break                       # healthy full number: done
+            if rc == 4:
+                # kernel parity failed on silicon: a real bug, not a flaky
+                # session — retrying won't fix it.  Publish the diagnosis.
+                break
+            # cool down only when something actually went wrong: crashed
+            # worker needs ~60 s to respawn; a degraded session needs idle
+            # time to clear; back-to-back reconnects hang
+            time.sleep(60 if rc not in (0, 3) else 45)
+        if best is not None:
+            print(json.dumps(best))
+            sys.exit(4 if best.get("kernel_parity_fail") else 0)
         print(last_err, file=sys.stderr)
         sys.exit(1)
 
@@ -136,6 +195,18 @@ def _phase(msg):
     print(f"# phase: {msg}", file=sys.stderr, flush=True)
 
 
+def _save_partial(d: dict):
+    """Persist the best-so-far result so a crash mid-run (the axon worker's
+    specialty) still leaves the wrapper something to publish."""
+    path = os.environ.get("BENCH_PARTIAL")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f)
+    os.replace(tmp, path)
+
+
 def run_bench(args):
     if args.cpu:
         os.environ.pop("JAX_PLATFORMS", None)
@@ -164,6 +235,22 @@ def run_bench(args):
                           "dispatch_ms": round(dispatch_ms, 3),
                           "degraded_session": True}))
         sys.exit(3)
+
+    # silicon kernel-parity gate (r4 postmortem: align_iclk was silently
+    # wrong on the v5e and the bench measured garbage).  A mismatch is a
+    # BUG, not a flaky session: publish the diagnosis with rc=4 so the
+    # wrapper stops retrying.
+    if jax.default_backend() == "tpu":
+        _phase("kernel parity gate")
+        from android_svo_tpu.ops.silicon_gate import run_gate
+        gate = run_gate(n=256, h=args.height, w=args.width)
+        if not gate.ok:
+            print(json.dumps({"metric": "frames_per_second", "value": 0.0,
+                              "unit": "fps", "vs_baseline": 0.0,
+                              "kernel_parity_fail": True,
+                              "kernel_parity": gate.as_dict(),
+                              "dispatch_ms": round(dispatch_ms, 3)}))
+            sys.exit(4)
 
     from android_svo_tpu.config import SVOConfig
     from android_svo_tpu.core import frame_handler as fh
@@ -254,6 +341,20 @@ def run_bench(args):
         n_healthy = 0
         degraded_tail = True
 
+    ate_host_early = (ate_rmse(np.array(est_h), np.array(gt_h))
+                      if len(est_h) >= 4 else -1.0)
+    _save_partial({
+        "metric": "frames_per_second", "value": round(float(fps_host), 2),
+        "unit": "fps", "vs_baseline": round(float(fps_host) / 200.0, 3),
+        "fps_forward_scan": 0.0, "n_kf_scan": 0,
+        "fps_host_loop": round(float(fps_host), 2),
+        "fps_track_only": round(float(fps_track), 2),
+        "ate_host": round(float(ate_host_early), 5),
+        "partial": "host_loop", "failures": n_fail,
+        "degraded_session": bool(degraded_tail),
+        "device": str(jax.devices()[0]),
+        "resolution": f"{args.width}x{args.height}"})
+
     # ---- timed FORWARD device scan ----------------------------------------
     # The deployment/throughput mode: the remaining frames (never seen by
     # the tracker) as chunked lax.scan dispatches, local BA dispatched
@@ -316,6 +417,22 @@ def run_bench(args):
     est_h, gt_h = np.array(est_h), np.array(gt_h)
     ate_host = ate_rmse(est_h, gt_h) if len(est_h) >= 4 else -1.0
 
+    if fps_scan > 0:
+        _save_partial({
+            "metric": "frames_per_second", "value": round(float(fps_scan), 2),
+            "unit": "fps", "vs_baseline": round(float(fps_scan) / 200.0, 3),
+            "fps_forward_scan": round(float(fps_scan), 2),
+            "n_kf_scan": n_kf_scan, "n_evict_scan": n_evict_scan,
+            "fps_host_loop": round(float(fps_host), 2),
+            "fps_track_only": round(float(fps_track), 2),
+            "ate_scan": round(float(ate_scan), 5),
+            "ate_host": round(float(ate_host), 5),
+            "scan_failures": scan_failures,
+            "partial": "scan", "failures": n_fail,
+            "degraded_session": bool(degraded_tail),
+            "device": str(jax.devices()[0]),
+            "resolution": f"{args.width}x{args.height}"})
+
     # BA iterations/s (BASELINE.md primary metric): time the jitted local-BA
     # program over the populated keyframe window
     _phase("ba timing")
@@ -343,7 +460,7 @@ def run_bench(args):
     # headline = forward-scan throughput with keyframe work included; the
     # host-loop number is the fallback when the scan could not run
     fps_headline = fps_scan if fps_scan > 0 else fps_host
-    print(json.dumps({
+    final = {
         "metric": "frames_per_second",
         "value": round(float(fps_headline), 2),
         "unit": "fps",
@@ -366,7 +483,9 @@ def run_bench(args):
         "degraded_session": bool(degraded or degraded_tail),
         "device": str(jax.devices()[0]),
         "resolution": f"{args.width}x{args.height}",
-    }))
+    }
+    _save_partial(final)
+    print(json.dumps(final))
     if degraded or degraded_tail:
         sys.exit(3)
 

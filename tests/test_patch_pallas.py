@@ -222,3 +222,40 @@ class TestStack:
         np.testing.assert_allclose(np.asarray(st[0]), np.asarray(img))
         assert float(jnp.abs(st[1, H // 2:, :]).max()) == 0.0
         assert float(jnp.abs(st[1, :, W // 2:]).max()) == 0.0
+
+
+class TestSiliconGate:
+    """The bench's pre-publish kernel gate (silicon_gate.run_gate).
+
+    On CPU we exercise it in interpret mode; on a real TPU run (manual:
+    `python scripts/probe_silicon_parity.py`) the same comparisons run
+    against compiled Mosaic kernels — the r4 failure mode this gate exists
+    to catch (VERDICT r4 #8).
+    """
+
+    def test_gate_passes_interpret(self):
+        from android_svo_tpu.ops.silicon_gate import run_gate
+        rep = run_gate(n=64, h=240, w=320, interpret=True)
+        assert rep.ok, rep.failures
+        assert rep.detail["align.med_err_px"] < 0.2
+
+    def test_gate_catches_broken_align(self, monkeypatch):
+        """Sabotage the Pallas align path the way the r4 miscompile did
+        (garbage positions) and check the gate refuses."""
+        from android_svo_tpu.ops import silicon_gate
+
+        real = pp.align_iclk
+
+        def broken(stack, lvl, ref, dx, dy, init_uv, valid, n_iter,
+                   h=None, w=None, use_pallas=None, interpret=False):
+            uv, conv, mean = real(stack, lvl, ref, dx, dy, init_uv, valid,
+                                  n_iter, h=h, w=w, use_pallas=False)
+            if interpret or use_pallas:    # "pallas" side only
+                uv = uv + 7.0              # patch landed a window off
+            return uv, conv, mean
+
+        monkeypatch.setattr(pp, "align_iclk", broken)
+        monkeypatch.setattr(silicon_gate, "pp", pp, raising=False)
+        rep = silicon_gate.run_gate(n=64, h=240, w=320, interpret=True)
+        assert not rep.ok
+        assert any("align" in f for f in rep.failures)
