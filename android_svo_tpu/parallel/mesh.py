@@ -48,10 +48,20 @@ def initialize_distributed(coordinator_address: str | None = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    on_tpu_pod = jax.default_backend() == "tpu" and (
-        coordinator_address is None and num_processes is None)
-    if not on_tpu_pod and (coordinator_address is None
-                           or (num_processes or 1) <= 1):
+    if coordinator_address is None and num_processes is None:
+        # No explicit wiring: the only auto-detectable multi-process setup
+        # is a TPU pod, detected from its launcher env (NOT via
+        # `jax.default_backend()` — that initializes the XLA backend, after
+        # which `jax.distributed.initialize` is forbidden; the explicit
+        # path below used to die on exactly that, caught by
+        # tests/test_distributed.py).
+        if not any(v in os.environ for v in (
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "CLOUD_TPU_TASK_ID")):
+            return False
+        jax.distributed.initialize()
+        return True
+    if coordinator_address is None or (num_processes or 1) <= 1:
         return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
