@@ -283,12 +283,19 @@ class FrameHandler:
         pvalid = vo.points.valid & (vo.points.obs_count >= 2)
         # compact the (mostly dead) landmark arena to a fixed budget before
         # the Schur einsums — they are O(arena) regardless of masks; points
-        # beyond the budget keep their positions this round
+        # beyond the budget keep their positions this round.  A
+        # frame-rotating offset round-robins WHICH live landmarks get
+        # BA-refined (like the seed-update budget, pipeline.py:101-114):
+        # without it, the lowest-index slots would be re-optimized every
+        # round while high-slot landmarks drift relative to the BA-updated
+        # keyframe poses forever (ADVICE r4 #1).
         P = pvalid.shape[0]
         Bba = min(cfg.loba_point_budget, P)
-        idx = jnp.nonzero(pvalid, size=Bba, fill_value=-1)[0]
+        offset = (vo.frame_id * jnp.asarray(263, jnp.int32)) % P
+        rot_valid = jnp.roll(pvalid, -offset)
+        idx = jnp.nonzero(rot_valid, size=Bba, fill_value=-1)[0]
         sel = idx >= 0
-        idxc = jnp.maximum(idx, 0)
+        idxc = (jnp.maximum(idx, 0) + offset) % P
         q2, t2, pos2_b, _ = local_ba(
             vo.points.pos[idxc], sel, vo.points.obs_kf[idxc],
             vo.points.obs_f[idxc], vo.kfs.q_kw, vo.kfs.t_kw, core, fixed,

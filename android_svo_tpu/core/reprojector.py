@@ -226,9 +226,6 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
         cell_best = jnp.full((C,), -1, jnp.int32).at[cid].max(key)
         winner = jnp.where(cell_best >= 0, cell_best % P, 0)  # (C,) pt slot
         cell_has = (cell_best >= 0) & need
-        # every attempted candidate is "tried" whether or not it matches
-        tried = tried.at[jnp.where(cell_has, winner, P)].set(True,
-                                                             mode="drop")
 
         if round_i == 0:
             # first round: every cell tries its best candidate (dense)
@@ -245,6 +242,12 @@ def reproject_map(vo: st.VOState, cur_stack, T_cw: SE3, cam,
             cand_ok = cells >= 0
             cells = jnp.maximum(cells, 0)
             cand = winner[cells]
+
+        # every candidate in THIS round's (possibly compacted) batch is
+        # "tried" whether or not it matches; cells beyond the retry budget
+        # keep their candidate for the next round instead of burning it
+        # un-attempted (ADVICE r4 #3)
+        tried = tried.at[jnp.where(cand_ok, cand, P)].set(True, mode="drop")
 
         px_init = px[cand]
         has_cache = cached[cand]

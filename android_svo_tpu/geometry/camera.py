@@ -50,13 +50,21 @@ class PinholeCamera:
     def create(cls, width, height, fx, fy, cx, cy,
                k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
                dtype=jnp.float32) -> "PinholeCamera":
+        """Build a camera; the ONLY place `distortion_free` is derived.
+
+        Do not mutate `dist` through `.replace(dist=...)` — the static
+        flag would go stale and distort/undistort silently become no-ops
+        (ADVICE r4 #4); build a fresh camera via `create` instead.
+        Distortion coefficients must be Python/numpy scalars (calibration
+        constants), never traced values — `float()` enforces that here.
+        """
+        ks = [float(k) for k in (k1, k2, p1, p2, k3)]
         return cls(
             fx=jnp.asarray(fx, dtype), fy=jnp.asarray(fy, dtype),
             cx=jnp.asarray(cx, dtype), cy=jnp.asarray(cy, dtype),
-            dist=jnp.asarray([k1, k2, p1, p2, k3], dtype),
+            dist=jnp.asarray(ks, dtype),
             width=int(width), height=int(height),
-            distortion_free=(k1 == 0.0 and k2 == 0.0 and p1 == 0.0
-                             and p2 == 0.0 and k3 == 0.0),
+            distortion_free=all(k == 0.0 for k in ks),
         )
 
     @property

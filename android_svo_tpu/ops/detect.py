@@ -233,11 +233,15 @@ def detect_features(pyr, occupied_cells: jnp.ndarray | None,
         # best-scoring max_fts cells when the grid offers more.  Corner and
         # edgelet scores are incommensurate units (Shi-Tomasi eigenvalue vs
         # squared gradient), so corners rank strictly above edgelets —
-        # edgelets only consume budget corners left unused.
-        rank_key = jnp.where(ftype == FTYPE_CORNER, score + 1e9, score)
-        kth = jnp.sort(jnp.where(valid, rank_key, -jnp.inf))[
-            n_cells - cfg.max_fts]
-        valid = valid & (rank_key >= kth)
+        # edgelets only consume budget corners left unused.  Lexicographic
+        # argsort (valid > corner > score, index as final tiebreak) keeps
+        # EXACTLY max_fts cells — a float class-bias key (score + 1e9)
+        # quantized scores to 64 ulp and kept whole tie bands (ADVICE r4
+        # #2).
+        corner = (ftype == FTYPE_CORNER).astype(jnp.int32)
+        order = jnp.lexsort((-score, -corner, ~valid))
+        keep = jnp.zeros((n_cells,), bool).at[order[:cfg.max_fts]].set(True)
+        valid = valid & keep
     return {"px": xy, "level": lvl, "score": score, "valid": valid,
             "ftype": ftype, "grad": grad}
 

@@ -1,0 +1,119 @@
+"""On-device relocalization demonstration (VERDICT r4 #5).
+
+Runs the bench-config tracker ON THE REAL TPU through a sequence with a
+mid-run occlusion (blank frames): tracking must fail into
+STAGE_RELOCALIZING and re-acquire via sparse-align against the closest
+keyframe within a bounded number of frames after texture returns
+(ref frame_handler_mono.cpp:317-347).  Events are recorded to
+TRACE_reloc.jsonl and a one-line JSON summary is printed (consumed into
+RELOC_r05.json / PERF.md).
+
+Usage: python scripts/reloc_demo.py [--frames 34] [--occlude 18 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from android_svo_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=34)
+    ap.add_argument("--occlude", type=int, nargs=2, default=(18, 4),
+                    metavar=("START", "LEN"))
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--step", type=float, default=0.02)
+    ap.add_argument("--trace", default="TRACE_reloc.jsonl")
+    args = ap.parse_args()
+
+    from bench import make_poses, probe_dispatch_ms
+    from android_svo_tpu.config import SVOConfig
+    from android_svo_tpu.core import frame_handler as fh
+    from android_svo_tpu.core import pipeline
+    from android_svo_tpu.data import synthetic
+    from android_svo_tpu.evals.trajectory import ate_rmse
+    from android_svo_tpu.geometry.se3 import SE3
+    from android_svo_tpu.utils.profiling import PerformanceMonitor
+
+    dispatch0 = probe_dispatch_ms(jax)
+    print(f"# dev={jax.devices()[0]} dispatch_ms={dispatch0:.3f}",
+          flush=True)
+
+    occ0, occn = args.occlude
+    occluded = set(range(occ0, occ0 + occn))
+    cfg = SVOConfig(init_min_disparity=20.0, max_n_kfs=8)
+    cam = synthetic.default_camera(args.width, args.height)
+    tex = synthetic.make_texture(jax.random.PRNGKey(0), 2048)
+    # repro_collapse-style fast orbit (bootstraps by frame ~2, several
+    # keyframes before the occlusion hits)
+    poses = make_poses(synthetic, args.frames, args.step, True)
+    rj = jax.jit(lambda q, t: synthetic.render(tex, cam, SE3(q=q, t=t)))
+    imgs = [rj(p.q, p.t) for p in poses]
+    blank = jnp.zeros_like(imgs[0])
+    jax.block_until_ready(imgs[-1])
+
+    pm = PerformanceMonitor(trace_path=args.trace)
+    handler = fh.FrameHandler(cam, cfg)
+    handler.perf_mon = pm
+    saw_reloc_at = None
+    recovered_at = None
+    est, gt = [], []
+    for i in range(args.frames):
+        img = blank if i in occluded else imgs[i]
+        res = handler.add_image(img, i * 0.05)
+        pm_stage = handler.stage
+        if pm_stage == fh.STAGE_RELOCALIZING and saw_reloc_at is None:
+            saw_reloc_at = i
+        if (saw_reloc_at is not None and recovered_at is None
+                and pm_stage == fh.STAGE_DEFAULT_FRAME):
+            recovered_at = i
+        if (pm_stage == fh.STAGE_DEFAULT_FRAME and i not in occluded
+                and res.result != pipeline.RES_FAILURE
+                and res.t_wc is not None):
+            t_est = np.asarray(res.t_wc)
+            if np.isfinite(t_est).all():
+                est.append(t_est)
+                gt.append(np.asarray(poses[i].t))
+        print(f"frame {i:3d} stage={pm_stage} res={res.result} "
+              f"matches={res.n_matches}"
+              f"{' OCCLUDED' if i in occluded else ''}", flush=True)
+    pm.close()
+
+    ate = ate_rmse(np.array(est), np.array(gt)) if len(est) >= 4 else -1.0
+    dispatch1 = probe_dispatch_ms(jax)
+    out = {
+        "device": str(jax.devices()[0]),
+        "occluded_frames": sorted(occluded),
+        "reloc_entered_at": saw_reloc_at,
+        "recovered_at": recovered_at,
+        "frames_to_recover": (None if recovered_at is None
+                              or saw_reloc_at is None
+                              else recovered_at - (occ0 + occn - 1)),
+        "final_stage": int(handler.stage),
+        "ate": round(float(ate), 5),
+        "dispatch_ms_start": round(dispatch0, 3),
+        "dispatch_ms_end": round(dispatch1, 3),
+        "trace": args.trace,
+        "ok": bool(saw_reloc_at is not None and recovered_at is not None
+                   and handler.stage == fh.STAGE_DEFAULT_FRAME),
+    }
+    print(json.dumps(out))
+    sys.exit(0 if out["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
