@@ -50,6 +50,24 @@ class SVOConfig:
     max_epi_search_steps: int = 100     # cap on epipolar scan (ref matcher.cpp:288)
     max_search_level: int = 2           # cap on matcher search level (graph size)
     zmssd_threshold_factor: float = 2000.0  # accept if < factor*area (ref patch_score.h:46)
+    match_min_patch_std: float = 5.0    # min current-patch intensity std for a
+                                        # direct match to count: a flat patch
+                                        # (occlusion, underexposure, off-texture)
+                                        # carries no alignment information — the
+                                        # ICLK mean-brightness term absorbs it and
+                                        # "converges" wherever it started, so the
+                                        # tracker coasts at zero innovation
+                                        # instead of failing into relocalization
+    direct_match_zmssd: bool = True     # appearance gate on direct matches: the
+                                        # reference accepts any converged align2D
+                                        # (matcher.cpp:179-200), which fabricates
+                                        # zero-innovation "matches" on occluded /
+                                        # unknown scenery (ICLK converges wherever
+                                        # it starts); scoring the matched patch
+                                        # with the SAME ZMSSD threshold the epi
+                                        # path uses makes occlusion fail tracking
+                                        # (-> relocalization) instead of silently
+                                        # poisoning the map
     max_view_angle_cos: float = 0.5     # cos(60°) closest-view gate (ref point.cpp:122)
     subpix_n_iter: int = 10             # subpixel refinement iterations
     epi_search_1d: bool = False         # 1D along-epipolar align (ref matcher feature_alignment align1D)

@@ -134,6 +134,26 @@ def zmssd(ref_patch: jnp.ndarray, cur_patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(d * d, axis=-1)
 
 
+def _zmssd_accept(cur_stack, search_level, ref_patch, uv_out, ok,
+                  cfg: SVOConfig, use_pallas):
+    """Appearance gate on a converged direct match: ZMSSD between the
+    warped reference patch and the current patch at the aligned position,
+    against the reference's epipolar-acceptance threshold
+    (patch_score.h:46, 2000*area).  `cfg.direct_match_zmssd` rationale in
+    config.py — a converged ICLK alone is no evidence of a match on
+    occluded/unknown scenery."""
+    n, p, _ = ref_patch.shape
+    area = p * p
+    cur = pp.sample_patches(cur_stack, search_level, uv_out, p // 2,
+                            valid=ok, use_pallas=use_pallas)
+    cur = cur.reshape(n, area)
+    score = zmssd(ref_patch.reshape(n, area), cur[:, None, :])[:, 0]
+    # information floor: a flat current patch "converges" trivially via
+    # the mean term — no texture, no match (cfg.match_min_patch_std)
+    textured = cur.std(axis=-1) >= cfg.match_min_patch_std
+    return ok & textured & (score < cfg.zmssd_threshold_factor * area)
+
+
 # ---------------------------------------------------------------------------
 # 1D alignment along a direction on the stack (ref align1D,
 # feature_alignment.cpp:35-133 — the edgelet / short-epipolar path)
@@ -261,8 +281,12 @@ def match_cached(cur_stack, cam, ref_patch_b, search_level, px_cur_init,
         uv_out = jnp.where(is_edge[:, None], uv_e, uv_out)
         conv = jnp.where(is_edge, conv_e, conv)
 
+    success = conv & valid
+    if cfg.direct_match_zmssd:
+        success = _zmssd_accept(cur_stack, search_level, ref_patch, uv_out,
+                                success, cfg, use_pallas)
     px_cur = uv_out * scale_s[:, None]
-    return px_cur, conv & valid
+    return px_cur, success
 
 
 # ---------------------------------------------------------------------------
@@ -321,8 +345,12 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
         uv_out = jnp.where(is_edge[:, None], uv_e, uv_out)
         conv = jnp.where(is_edge, conv_e, conv)
 
+    success = conv & valid
+    if cfg.direct_match_zmssd:
+        success = _zmssd_accept(cur_stack, search_level, ref_patch, uv_out,
+                                success, cfg, use_pallas)
     px_cur = uv_out * scale_s[:, None]
-    return px_cur, search_level, conv & valid
+    return px_cur, search_level, success
 
 
 # ---------------------------------------------------------------------------
