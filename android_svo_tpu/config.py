@@ -50,6 +50,14 @@ class SVOConfig:
     max_epi_search_steps: int = 100     # cap on epipolar scan (ref matcher.cpp:288)
     max_search_level: int = 2           # cap on matcher search level (graph size)
     zmssd_threshold_factor: float = 2000.0  # accept if < factor*area (ref patch_score.h:46)
+    align_mxu: bool = True              # feature-align schedule: window dump
+                                        # (one Pallas pass) + one-hot bilinear
+                                        # einsums on the MXU per ICLK iteration,
+                                        # instead of the serial per-feature
+                                        # Pallas loop (2.3 vs 7 ms / 768 fts /
+                                        # 10 iters measured on v5e); same
+                                        # align2D math (feature_alignment.cpp:
+                                        # 154-282), TPU-shaped schedule
     match_min_patch_std: float = 5.0    # min current-patch intensity std for a
                                         # direct match to count: a flat patch
                                         # (occlusion, underexposure, off-texture)
@@ -74,15 +82,20 @@ class SVOConfig:
 
     # ---- reprojector ---------------------------------------------------------
     max_n_kfs_reproject: int = 10       # project points from N closest KFs (ref reprojector.cpp:94)
-    warp_refresh_budget: int = 192      # landmark warped-patch cache refreshes
+    warp_refresh_budget: int = 64       # landmark warped-patch cache refreshes
                                         # per frame (oldest visible first; the
                                         # affine warp out of the keyframe
                                         # arena is the dominant per-frame
-                                        # gather, and the warp drifts ~1%/frame
-                                        # — amortizing it is the TPU-native
-                                        # answer to matcher.cpp:83-121 running
-                                        # per point per frame)
-    seed_warp_refresh_budget: int = 192  # same, for depth-filter seed patches
+                                        # gather at ~6 us/warp, and the warp
+                                        # drifts ~1%/frame — amortizing it is
+                                        # the TPU-native answer to
+                                        # matcher.cpp:83-121 running per point
+                                        # per frame.  r5 sweep on v5e: 192+192
+                                        # budgets cost 2.3 ms/frame of the
+                                        # 8.5 ms fused step; 64+64 tracks the
+                                        # bench orbit identically (511 matches,
+                                        # 0 failures over 40 frames) at 7.3 ms)
+    seed_warp_refresh_budget: int = 64  # same, for depth-filter seed patches
     reproject_n_retries: int = 1        # extra per-cell candidate tries after a failed
                                         # match (ref reprojectCell quality-ordered chain,
                                         # reprojector.cpp:181-241); 0 = single try

@@ -268,9 +268,22 @@ def match_cached(cur_stack, cam, ref_patch_b, search_level, px_cur_init,
     scale_s = 2.0 ** search_level.astype(px_cur_init.dtype)
     uv_init = px_cur_init / scale_s[:, None]
 
-    uv_out, conv, _ = pp.align_iclk(
-        cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
-        cfg.align_max_iter, h, w, use_pallas=use_pallas)
+    gated_inline = cfg.align_mxu and not (cfg.edgelet_detection
+                                          and warp_grad is not None)
+    if cfg.align_mxu:
+        uv_out, conv, _ = pp.align_iclk_mxu(
+            cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+            cfg.align_max_iter, h, w, use_pallas=use_pallas,
+            zmssd_factor=(cfg.zmssd_threshold_factor
+                          if gated_inline and cfg.direct_match_zmssd
+                          else None),
+            min_patch_std=(cfg.match_min_patch_std
+                           if gated_inline and cfg.direct_match_zmssd
+                           else None))
+    else:
+        uv_out, conv, _ = pp.align_iclk(
+            cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+            cfg.align_max_iter, h, w, use_pallas=use_pallas)
 
     if cfg.edgelet_detection and warp_grad is not None:
         from android_svo_tpu.ops.detect import FTYPE_EDGELET
@@ -282,7 +295,7 @@ def match_cached(cur_stack, cam, ref_patch_b, search_level, px_cur_init,
         conv = jnp.where(is_edge, conv_e, conv)
 
     success = conv & valid
-    if cfg.direct_match_zmssd:
+    if cfg.direct_match_zmssd and not gated_inline:
         success = _zmssd_accept(cur_stack, search_level, ref_patch, uv_out,
                                 success, cfg, use_pallas)
     px_cur = uv_out * scale_s[:, None]
@@ -327,9 +340,22 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
     uv_init = px_cur_init / scale_s[:, None]
     valid = valid & ok_warp
 
-    uv_out, conv, _ = pp.align_iclk(
-        cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
-        cfg.align_max_iter, h, w, use_pallas=use_pallas)
+    gated_inline = cfg.align_mxu and not (cfg.edgelet_detection
+                                          and ref_grad is not None)
+    if cfg.align_mxu:
+        uv_out, conv, _ = pp.align_iclk_mxu(
+            cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+            cfg.align_max_iter, h, w, use_pallas=use_pallas,
+            zmssd_factor=(cfg.zmssd_threshold_factor
+                          if gated_inline and cfg.direct_match_zmssd
+                          else None),
+            min_patch_std=(cfg.match_min_patch_std
+                           if gated_inline and cfg.direct_match_zmssd
+                           else None))
+    else:
+        uv_out, conv, _ = pp.align_iclk(
+            cur_stack, search_level, ref_patch, gx, gy, uv_init, valid,
+            cfg.align_max_iter, h, w, use_pallas=use_pallas)
 
     if cfg.edgelet_detection and ref_grad is not None:
         from android_svo_tpu.ops.detect import FTYPE_EDGELET
@@ -346,7 +372,7 @@ def find_match_direct(cur_stack, kf_stack, kf_idx, cam,
         conv = jnp.where(is_edge, conv_e, conv)
 
     success = conv & valid
-    if cfg.direct_match_zmssd:
+    if cfg.direct_match_zmssd and not gated_inline:
         success = _zmssd_accept(cur_stack, search_level, ref_patch, uv_out,
                                 success, cfg, use_pallas)
     px_cur = uv_out * scale_s[:, None]

@@ -141,4 +141,41 @@ def run_gate(n: int = 256, h: int = 480, w: int = 640,
         if med > 0.5:
             failures.append(f"align: median converged error {med:.3f} px")
 
+    # -- align_iclk_mxu (window dump kernel + one-hot MXU einsums): the
+    # live feature_align path when cfg.align_mxu (default).  Compared to
+    # the same fallback spec.
+    uv_m, cv_m, m_m = pp.align_iclk_mxu(stack, lvl, refp, rdx, rdy,
+                                        uv + off, valid, 10, h=h, w=w,
+                                        **pk)
+    cv_m = np.asarray(cv_m)
+    n_agree = int((cv_m == cv_f).sum())
+    detail["align_mxu.conv_agree_frac"] = n_agree / n
+    if n_agree < 0.95 * n:
+        failures.append(f"align_mxu: convergence agrees {n_agree}/{n}")
+    if cv_f.sum() and cv_m.sum() < 0.8 * cv_f.sum():
+        failures.append(
+            f"align_mxu: converges {int(cv_m.sum())} vs "
+            f"fallback {int(cv_f.sum())}")
+    # deviation vs fallback is quantile-gated: on TPU the XLA-gather
+    # fallback itself carries ~0.1 px p99 noise (the MXU path is the more
+    # accurate of the two — measured err-to-truth p99 0.022 vs 0.124 px),
+    # so a max-deviation bound punishes the wrong side; the 0.5 px cap
+    # still catches the window-offset/miscompile class cold
+    bothm = cv_m & cv_f
+    if bothm.sum():
+        dm = np.linalg.norm(np.asarray(uv_m)[bothm]
+                            - np.asarray(uv_f)[bothm], axis=-1)
+        detail["align_mxu.uv_p90"] = float(np.percentile(dm, 90))
+        detail["align_mxu.uv_max"] = float(dm.max())
+        if np.percentile(dm, 90) > 0.05 or dm.max() > 0.5:
+            failures.append(
+                f"align_mxu: uv dev p90={np.percentile(dm, 90):.4f} "
+                f"max={dm.max():.4f}")
+    err_m = np.linalg.norm(np.asarray(uv_m) - np.asarray(uv), axis=-1)
+    if cv_m.sum():
+        med = float(np.median(err_m[cv_m]))
+        detail["align_mxu.med_err_px"] = med
+        if med > 0.5:
+            failures.append(f"align_mxu: median converged error {med:.3f}")
+
     return GateReport(ok=not failures, failures=failures, detail=detail)

@@ -103,6 +103,8 @@ def main():
     from android_svo_tpu.ops.sparse_align import sparse_img_align
 
     cfg = SVOConfig(init_min_disparity=20.0)
+    if os.environ.get("NO_MXU"):
+        cfg = cfg.replace(align_mxu=False)
     cam = synthetic.default_camera(args.width, args.height)
     dims = st.arena_dims(cfg, cam.width, cam.height)
     tex = synthetic.make_texture(jax.random.PRNGKey(0), 2048)

@@ -259,3 +259,78 @@ class TestSiliconGate:
         rep = silicon_gate.run_gate(n=64, h=240, w=320, interpret=True)
         assert not rep.ok
         assert any("align" in f for f in rep.failures)
+
+
+class TestAlignMxu:
+    """Window-dump + one-hot-einsum ICLK (`align_iclk_mxu`) vs the
+    fallback spec — the cfg.align_mxu live path."""
+
+    @pytest.fixture(scope="class")
+    def smooth(self):
+        from android_svo_tpu.data import synthetic
+        cam = synthetic.default_camera(320, 240)
+        tex = synthetic.make_texture(jax.random.PRNGKey(7), 1024)
+        img = synthetic.render(tex, cam, synthetic.lookdown_pose(
+            0.0, 0.0, -3.0, (0.45, 0.0, 0.0)))
+        return build_stack(img, 3)
+
+    def _problem(self, stack, n=48):
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        lvl = jax.random.randint(k1, (n,), 0, 3)
+        wl = (320 >> lvl).astype(jnp.float32)
+        hl = (240 >> lvl).astype(jnp.float32)
+        u01 = jax.random.uniform(k2, (n, 2))
+        uv = jnp.stack([12 + u01[:, 0] * (wl - 24),
+                        12 + u01[:, 1] * (hl - 24)], -1)
+        ref, dx, dy = pp.sample_patches(stack, lvl, uv, 4, grad=True,
+                                        use_pallas=False)
+        off = jax.random.uniform(k3, (n, 2), minval=-2.0, maxval=2.0)
+        return lvl, uv, ref, dx, dy, off
+
+    def test_matches_fallback(self, smooth):
+        n = 48
+        lvl, uv, ref, dx, dy, off = self._problem(smooth, n)
+        valid = jnp.ones((n,), bool)
+        uv_m, cv_m, m_m = pp.align_iclk_mxu(
+            smooth, lvl, ref, dx, dy, uv + off, valid, 10, h=240, w=320,
+            use_pallas=False)
+        uv_f, cv_f, m_f = pp.align_iclk(
+            smooth, lvl, ref, dx, dy, uv + off, valid, 10, h=240, w=320,
+            use_pallas=False)
+        cv_m = np.asarray(cv_m)
+        cv_f = np.asarray(cv_f)
+        assert (cv_m == cv_f).mean() > 0.95
+        both = cv_m & cv_f
+        np.testing.assert_allclose(np.asarray(uv_m)[both],
+                                   np.asarray(uv_f)[both], atol=0.05)
+        err = np.linalg.norm(np.asarray(uv_m) - np.asarray(uv), axis=-1)
+        assert np.median(err[cv_m]) < 0.1
+
+    def test_dump_kernel_interpret_matches_fallback(self, smooth):
+        n = 32
+        lvl, uv, ref, dx, dy, off = self._problem(smooth, n)
+        valid = jnp.ones((n,), bool)
+        w_i, org_i = pp.dump_windows(smooth, lvl, uv, valid,
+                                     interpret=True)
+        w_f, org_f = pp.dump_windows(smooth, lvl, uv, valid,
+                                     use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(org_i), np.asarray(org_f))
+        np.testing.assert_allclose(np.asarray(w_i), np.asarray(w_f),
+                                   atol=1e-5)
+
+    def test_inline_gate_rejects_flat_and_mismatched(self, smooth):
+        n = 32
+        lvl, uv, ref, dx, dy, off = self._problem(smooth, n)
+        valid = jnp.ones((n,), bool)
+        # flat stack: information floor must reject everything
+        flat = jnp.full_like(smooth, 100.0)
+        _, cv, _ = pp.align_iclk_mxu(
+            flat, lvl, ref, dx, dy, uv + off, valid, 10, h=240, w=320,
+            use_pallas=False, zmssd_factor=2000.0, min_patch_std=5.0)
+        assert not bool(np.asarray(cv).any())
+        # matching stack with the gate on: most must still converge
+        _, cv2, _ = pp.align_iclk_mxu(
+            smooth, lvl, ref, dx, dy, uv + off, valid, 10, h=240, w=320,
+            use_pallas=False, zmssd_factor=2000.0, min_patch_std=5.0)
+        assert np.asarray(cv2).mean() > 0.8
