@@ -17,6 +17,11 @@ import sys
 
 import pytest
 
+# share the "spmd" loadgroup with test_parallel.py: the worker subprocesses
+# here run their own in-process collectives and must not overlap another
+# xdist worker's mesh rendezvous on a 2-core host (see test_parallel.py)
+pytestmark = pytest.mark.xdist_group("spmd")
+
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "_distributed_worker.py")
 

@@ -2,6 +2,13 @@
 (SURVEY.md §4 item 5)."""
 
 import jax
+import pytest as _pytest
+
+# An in-process N-participant collective is a host-thread rendezvous; two
+# xdist workers each inside a many-device rendezvous on a 2-core host can
+# starve each other indefinitely (observed: both workers futex-blocked,
+# 0% CPU).  Pin every mesh-running module to ONE worker via loadgroup.
+pytestmark = _pytest.mark.xdist_group("spmd")
 import jax.numpy as jnp
 import numpy as np
 import pytest
